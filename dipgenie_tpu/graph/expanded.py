@@ -1,0 +1,360 @@
+"""Haplotype-expanded graph: construction, topological reorder, strict
+BFS levelization with dummy-vertex insertion.
+
+Equivalent of the reference ``ExpandedGraph``
+(reference: src/ExpandedGraph.hpp) plus the construction performed in
+``Approximator::solve`` (reference: src/approximator.cpp:1014-1256):
+
+  * one chain of vertices per haplotype walk + global source/sink
+    (approximator.cpp:1029-1049);
+  * one weight-1 edge per off-walk original edge into a shared
+    recombination vertex ``w_{u,j}``, which fans out with weight-0 edges
+    to every haplotype's copy of the target vertex
+    (approximator.cpp:1051-1095);
+  * per-anchor-occurrence super-nodes carrying colour sets, with a sweep
+    per haplotype that links touching/overlapping anchors and propagates
+    colours through containment (approximator.cpp:1114-1246);
+  * Kahn topological reorder with the sink forced last
+    (ExpandedGraph.hpp:29-102);
+  * strict BFS levelization: BFS + topo level relaxation + dummy chains
+    so every edge spans exactly one level, then reorder by (level, id)
+    (ExpandedGraph.hpp:269-409).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+
+from typing import TYPE_CHECKING
+
+from ..graph.pangenome import PangenomeIndex
+
+if TYPE_CHECKING:
+    from ..solver.anchors import AnchorData
+
+
+@dataclass
+class AnchorRec:
+    """approximator.cpp AnchorRec: one anchor occurrence on a haplotype."""
+
+    startOrg: int
+    endOrg: int
+    startExp: int
+    endExp: int
+    colours: list[int]
+    nodeID: int
+
+
+@dataclass
+class ExpandedGraph:
+    adj_list: list[list[tuple[int, int]]] = field(default_factory=list)
+    color: list[list[int]] = field(default_factory=list)
+    original_vertex: list[list[int]] = field(default_factory=list)
+    haplotype: list[int] = field(default_factory=list)
+    level: list[int] = field(default_factory=list)
+    vertices_in_level: list[list[int]] = field(default_factory=list)
+
+    # ---- Kahn reorder, sink last (ExpandedGraph.hpp:29-102) ----
+    def topologically_reorder(self, sink: int) -> None:
+        n = len(self.adj_list)
+        indeg = [0] * n
+        for nbrs in self.adj_list:
+            for v, _w in nbrs:
+                indeg[v] += 1
+        q = deque(v for v in range(n) if indeg[v] == 0 and v != sink)
+        sink_ready = indeg[sink] == 0
+        order: list[int] = []
+        while q or sink_ready:
+            if q:
+                u = q.popleft()
+            else:
+                u = sink
+                sink_ready = False
+            order.append(u)
+            for v, _w in self.adj_list[u]:
+                indeg[v] -= 1
+                if indeg[v] == 0:
+                    if v == sink:
+                        sink_ready = True
+                    else:
+                        q.append(v)
+        if len(order) != n:
+            raise RuntimeError("Graph contains a cycle; topological order impossible")
+        new_idx = [0] * n
+        for i, u in enumerate(order):
+            new_idx[u] = i
+        self.color = [self.color[u] for u in order]
+        self.original_vertex = [self.original_vertex[u] for u in order]
+        self.haplotype = [self.haplotype[u] for u in order]
+        if len(self.level) == n:
+            self.level = [self.level[u] for u in order]
+        new_adj: list[list[tuple[int, int]]] = [[] for _ in range(n)]
+        for old_u in range(n):
+            u = new_idx[old_u]
+            for old_v, w in self.adj_list[old_u]:
+                new_adj[u].append((new_idx[old_v], w))
+        self.adj_list = new_adj
+
+    # ---- strict BFS levelize (ExpandedGraph.hpp:269-409) ----
+    def strict_bfs_levelize_and_reorder(self) -> int:
+        n0 = len(self.adj_list)
+        if n0 == 0:
+            return 0
+        indeg = [0] * n0
+        outdeg = [0] * n0
+        for u in range(n0):
+            outdeg[u] = len(self.adj_list[u])
+            for v, _w in self.adj_list[u]:
+                indeg[v] += 1
+        source = -1
+        for v in range(n0):
+            if indeg[v] == 0 and outdeg[v] > 0:
+                if source == -1:
+                    source = v
+                else:
+                    raise SystemExit(
+                        "Uh oh, multiple potential sources found while leveling"
+                    )
+        if source < 0:
+            raise RuntimeError("bad source index")
+
+        # 1) BFS distances
+        dist = [-1] * n0
+        dist[source] = 0
+        q = deque([source])
+        while q:
+            u = q.popleft()
+            for v, _w in self.adj_list[u]:
+                if dist[v] == -1:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+
+        # 2) Kahn topo
+        indeg2 = indeg[:]
+        qk = deque(v for v in range(n0) if indeg2[v] == 0)
+        topo: list[int] = []
+        while qk:
+            u = qk.popleft()
+            topo.append(u)
+            for v, _w in self.adj_list[u]:
+                indeg2[v] -= 1
+                if indeg2[v] == 0:
+                    qk.append(v)
+        if len(topo) != n0:
+            raise RuntimeError("Graph contains a cycle; strict leveling requires a DAG")
+
+        # 3) seed/relax levels
+        lvl = [0] * n0
+        for v in range(n0):
+            if dist[v] >= 0:
+                lvl[v] = dist[v]
+        for u in topo:
+            lu = lvl[u]
+            for v, _w in self.adj_list[u]:
+                if lvl[v] <= lu:
+                    lvl[v] = lu + 1
+
+        # 4) dummies for skipped levels
+        next_adj: list[list[tuple[int, int]]] = [[] for _ in range(n0)]
+        next_color = self.color
+        next_orig = self.original_vertex
+        next_lvl = lvl
+        next_hap = self.haplotype
+
+        def add_dummy(new_level: int, hap: int, inherit_from: int) -> int:
+            vid = len(next_adj)
+            next_adj.append([])
+            next_color.append([])
+            next_orig.append(list(next_orig[inherit_from]))
+            next_lvl.append(new_level)
+            next_hap.append(hap)
+            return vid
+
+        for u in range(n0):
+            for v, w in self.adj_list[u]:
+                gap = next_lvl[v] - next_lvl[u] - 1
+                if gap <= 0:
+                    next_adj[u].append((v, w))
+                else:
+                    prev = u
+                    for step in range(1, gap + 1):
+                        dummy = add_dummy(next_lvl[u] + step, self.haplotype[u], u)
+                        next_adj[prev].append((dummy, w if step == 1 else 0))
+                        prev = dummy
+                    next_adj[prev].append((v, 0))
+
+        self.adj_list = next_adj
+        self.color = next_color
+        self.original_vertex = next_orig
+        self.level = next_lvl
+        self.haplotype = next_hap
+
+        # 5) order by (level, id), compute width
+        n1 = len(self.adj_list)
+        order = sorted(range(n1), key=lambda a: (self.level[a], a))
+        max_level = max(self.level) if n1 else 0
+        width = [0] * (max_level + 1)
+        for v in range(n1):
+            width[self.level[v]] += 1
+        max_width = max(width) if width else 0
+
+        new_id = [0] * n1
+        for i, old in enumerate(order):
+            new_id[old] = i
+        self.color = [self.color[o] for o in order]
+        self.original_vertex = [self.original_vertex[o] for o in order]
+        self.level = [self.level[o] for o in order]
+        self.haplotype = [self.haplotype[o] for o in order]
+        new_adj: list[list[tuple[int, int]]] = [[] for _ in range(n1)]
+        for old_u in range(n1):
+            u = new_id[old_u]
+            for old_v, w in self.adj_list[old_u]:
+                new_adj[u].append((new_id[old_v], w))
+        self.adj_list = new_adj
+
+        # 7) per-level buckets
+        self.vertices_in_level = [[] for _ in range(max_level + 1)]
+        for u in range(n1):
+            self.vertices_in_level[self.level[u]].append(u)
+        return max_width
+
+
+@dataclass
+class ExpandedBuild:
+    """Result of build_expanded_graph: the graph plus side tables used by
+    the diploid path (approximator.cpp:1114-1304)."""
+
+    graph: ExpandedGraph
+    sink: int
+    anchors_by_hap: list[list[AnchorRec]]
+    color_to_anchor: list[int]
+    num_colors: int
+
+
+def build_expanded_graph(
+    index: PangenomeIndex, anchors: AnchorData
+) -> ExpandedBuild:
+    """Approximator::solve construction steps (approximator.cpp:1017-1246)."""
+    paths = index.paths
+    nH = len(paths)
+    n_vtx = index.n_vtx
+    number_of_vertices = sum(len(p) for p in paths)
+
+    adj: list[list[tuple[int, int]]] = [[] for _ in range(2 + number_of_vertices)]
+    vertex_to_expanded = [[-1] * nH for _ in range(n_vtx)]
+    exp_to_original: list[list[int]] = [[] for _ in range(2 + number_of_vertices)]
+    vertex_to_hap = [0] * (2 + number_of_vertices)
+
+    sink = len(adj) - 1
+    cur = 1
+    for h in range(nH):
+        adj[0].append((cur, 0))
+        pw = paths[h]
+        for i, v in enumerate(pw.tolist()):
+            vertex_to_expanded[v][h] = cur
+            exp_to_original[cur].append(v)
+            vertex_to_hap[cur] = h
+            if i < len(pw) - 1:
+                adj[cur].append((cur + 1, 0))
+            else:
+                adj[cur].append((sink, 0))
+            cur += 1
+
+    # recombination w-vertices (approximator.cpp:1051-1095)
+    vertex_w_uv = [[-1] * len(index.adj_list[u]) for u in range(n_vtx)]
+    cur = len(adj)
+    for h in range(nH):
+        pw = paths[h].tolist()
+        for i, u in enumerate(pw):
+            nxt = pw[i + 1] if i < len(pw) - 1 else None
+            au = index.adj_list[u].tolist()
+            for j, v in enumerate(au):
+                if i == len(pw) - 1 or v != nxt:
+                    if vertex_w_uv[u][j] == -1:
+                        adj.append([])
+                        exp_to_original.append([])
+                        vertex_to_hap.append(-1)
+                        vertex_w_uv[u][j] = cur
+                        cur += 1
+                    adj[vertex_to_expanded[u][h]].append((vertex_w_uv[u][j], 1))
+                    if not adj[vertex_w_uv[u][j]]:
+                        for v_e in vertex_to_expanded[v]:
+                            if v_e >= 0:
+                                adj[vertex_w_uv[u][j]].append((v_e, 0))
+
+    # anchor super-nodes + colours (approximator.cpp:1114-1176)
+    color: list[list[int]] = [[] for _ in range(len(adj))]
+    anchors_by_hap: list[list[AnchorRec]] = [[] for _ in range(nH)]
+    color_to_anchor: list[int] = []
+    next_id = len(adj)
+    colour_id = 0
+    for a in range(anchors.count_sp_r):
+        new_color_used = False
+        hits = anchors.anchor_hits[a]
+        for h in range(nH):
+            for occ in hits[h]:
+                if len(occ) == 0:
+                    continue
+                new_color_used = True
+                start_org, end_org = occ[0], occ[-1]
+                start_exp = vertex_to_expanded[start_org][h]
+                end_exp = vertex_to_expanded[end_org][h]
+                if start_exp == end_exp:
+                    node_id = start_exp
+                else:
+                    adj[start_exp].append((next_id, 0))
+                    adj.append([(end_exp, 0)])
+                    exp_to_original.append(list(occ))
+                    color.append([])
+                    vertex_to_hap.append(-1)
+                    node_id = next_id
+                    next_id += 1
+                anchors_by_hap[h].append(
+                    AnchorRec(start_org, end_org, start_exp, end_exp, [colour_id], node_id)
+                )
+        if new_color_used:
+            color_to_anchor.append(a)
+            colour_id += 1
+
+    # sweep per haplotype (approximator.cpp:1193-1246)
+    for h in range(nH):
+        vec = anchors_by_hap[h]
+        if not vec:
+            continue
+        vec.sort(key=lambda r: (r.startExp, r.endExp))
+        stk: list[AnchorRec] = []
+        for anc in vec:
+            while stk and stk[-1].endExp < anc.startExp:
+                stk.pop()
+            if stk and anc.startExp <= stk[-1].endExp and stk[-1].nodeID != anc.nodeID:
+                adj[stk[-1].nodeID].append((anc.nodeID, 0))
+            for i in range(len(stk) - 1, -1, -1):
+                if anc.endExp <= stk[i].endExp:
+                    have = stk[i].colours
+                    for c in anc.colours:
+                        if c not in have:
+                            have.append(c)
+                else:
+                    break
+            stk.append(anc)
+        for anc in vec:
+            dst = color[anc.nodeID]
+            dst.extend(anc.colours)
+            dst.sort()
+            # unique
+            out = []
+            prev = None
+            for c in dst:
+                if c != prev:
+                    out.append(c)
+                    prev = c
+            color[anc.nodeID] = out
+
+    g = ExpandedGraph(
+        adj_list=adj,
+        color=color,
+        original_vertex=exp_to_original,
+        haplotype=vertex_to_hap,
+    )
+    return ExpandedBuild(g, sink, anchors_by_hap, color_to_anchor, colour_id)

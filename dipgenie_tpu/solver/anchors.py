@@ -1,0 +1,204 @@
+"""Anchor computation, filtering and HOM/HET classification.
+
+Equivalent of the reference ``compute_and_classify_anchors``
+(reference: src/solver.cpp:449-887):
+
+  1. sketch every haplotype walk; per-minimizer anchor = the chain of
+     walk vertices its k-mer spans, deduped by first appearance then
+     sorted by MSA column order (solver.cpp:336-358);
+  2. sketch every read; the read spectrum Sp_R maps each distinct hash
+     to a dense id in ascending-hash order (std::map semantics,
+     solver.cpp:533-547);
+  3. hash-join each haplotype's minimizers against the spectrum →
+     ``anchor_hits[spectrum_id][hap]`` chains (solver.cpp:563-575);
+  4. uninformativeness filter: a spectrum id is dropped whole if any
+     identical chain occurs >= threshold*num_walks times across
+     haplotypes (solver.cpp:590-633);
+  5. chains re-sorted by (first vertex, last vertex), empties last
+     (solver.cpp:641-663);
+  6. k-mer multiplicity histogram = for each hash, the number of reads
+     whose sketch contains it (solver.cpp:711-754);
+  7. mixture-model grid fit + classification → homo_bv and the
+     homo/hetero splits (solver.cpp:779-887).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..graph.pangenome import PangenomeIndex
+from ..models.classifier import KGParams, classify_labels, HET, HOM
+from ..models.fitter import KGFitOptions, KGFitResult, fit_histogram
+from ..sketch.minimizers import sketch_sequence
+from ..utils.timing import log_stage
+
+Chain = tuple[int, ...]
+
+
+@dataclass
+class AnchorData:
+    count_sp_r: int = 0
+    sp_hashes: np.ndarray | None = None  # [S] uint64, ascending; id -> hash
+    anchor_hits: list[list[list[Chain]]] = field(default_factory=list)
+    homo_bv: np.ndarray | None = None  # [S] int8
+    multiplicity: np.ndarray | None = None  # [S] int64 (#reads per hash)
+    fit: KGFitResult | None = None
+    hap_minimizer_counts: list[int] = field(default_factory=list)
+
+
+def _hap_anchor_chains(
+    index: PangenomeIndex, h: int, positions: np.ndarray, k: int
+) -> list[Chain]:
+    """Map minimizer start offsets to vertex chains (solver.cpp:336-358)."""
+    path = index.paths[h]
+    lens = np.asarray([len(index.node_seq[v]) for v in path], np.int64)
+    pstep = np.repeat(np.arange(len(path), dtype=np.int64), lens)
+    tom = index.top_order_map
+    t0 = pstep[positions]
+    t1 = pstep[positions + k - 1]
+    out: list[Chain] = []
+    for a, b in zip(t0.tolist(), t1.tolist()):
+        seg = path[a : b + 1]
+        # dedupe by first appearance, then sort by MSA order
+        seen: dict[int, None] = {}
+        for v in seg.tolist():
+            if v not in seen:
+                seen[v] = None
+        uniq = sorted(seen.keys(), key=lambda v: tom[v])
+        out.append(tuple(uniq))
+    return out
+
+
+def compute_and_classify_anchors(
+    index: PangenomeIndex,
+    reads: list[tuple[str, str]],
+    k: int,
+    w: int,
+    threshold: float,
+    verbose: bool = True,
+) -> AnchorData:
+    H = index.num_walks
+    data = AnchorData()
+
+    # 1) sketch haplotypes
+    if verbose:
+        print("Number of Minimizers", file=sys.stderr)
+    hap_minis = []
+    for h in range(H):
+        mins = sketch_sequence(index.haplotype_seq(h), k, w)
+        hap_minis.append(mins)
+        data.hap_minimizer_counts.append(len(mins.hashes))
+        if verbose:
+            print(f"{index.hap_id2name[h]} : {len(mins.hashes)}", file=sys.stderr)
+
+    # 2) sketch reads -> per-read unique hash sets
+    read_hashes: list[np.ndarray] = []
+    for _, seq in reads:
+        m = sketch_sequence(seq, k, w)
+        read_hashes.append(np.unique(m.hashes))
+
+    # 3) spectrum: ascending distinct hashes -> dense ids (std::map order)
+    all_hashes = (
+        np.concatenate(read_hashes) if read_hashes else np.empty(0, np.uint64)
+    )
+    sp_hashes = np.unique(all_hashes)
+    S = len(sp_hashes)
+    data.count_sp_r = S
+    data.sp_hashes = sp_hashes
+    if verbose:
+        log_stage(
+            "compute_and_classify_anchors",
+            f"Indexed reads with spectrum size: {S}",
+        )
+
+    # 4) per-hap hash join (emission order per hap, solver.cpp:563-575)
+    anchor_hits: list[list[list[Chain]]] = [[[] for _ in range(H)] for _ in range(S)]
+    for h in range(H):
+        mins = hap_minis[h]
+        if len(mins.hashes) == 0:
+            continue
+        idx = np.searchsorted(sp_hashes, mins.hashes)
+        idx_c = np.clip(idx, 0, max(S - 1, 0))
+        matched = (idx < S) & (sp_hashes[idx_c] == mins.hashes) if S else np.zeros(len(mins.hashes), bool)
+        mpos = mins.positions[matched]
+        mids = idx[matched]
+        chains = _hap_anchor_chains(index, h, mpos, k)
+        for sp_id, chain in zip(mids.tolist(), chains):
+            anchor_hits[sp_id][h].append(chain)
+
+    # 5) uninformativeness filter (solver.cpp:590-633)
+    filtered = 0
+    nonempty_path = [len(index.paths[h]) > 0 for h in range(H)]
+    for r in range(S):
+        counts: dict[Chain, int] = {}
+        for h in range(H):
+            if not nonempty_path[h]:
+                continue
+            for chain in anchor_hits[r][h]:
+                counts[chain] = counts.get(chain, 0) + 1
+        if any(c >= threshold * H for c in counts.values()):
+            anchor_hits[r] = [[] for _ in range(H)]
+            filtered += 1
+
+    # 6) sort occurrences by (first, last), empties last (solver.cpp:641-663)
+    for r in range(S):
+        for h in range(H):
+            anchor_hits[r][h].sort(
+                key=lambda c: (1,) if len(c) == 0 else (0, c[0], c[-1])
+            )
+    data.anchor_hits = anchor_hits
+
+    if verbose:
+        print("Number of Anchors", file=sys.stderr)
+        for h in range(H):
+            loc = sum(len(anchor_hits[r][h]) for r in range(S))
+            print(f"{index.hap_id2name[h]} : {loc}", file=sys.stderr)
+
+    # 7) multiplicity histogram: #reads containing each hash
+    mult_per_hash = np.zeros(S, np.int64)
+    for rh in read_hashes:
+        pos = np.searchsorted(sp_hashes, rh)
+        mult_per_hash[pos] += 1
+    data.multiplicity = mult_per_hash
+
+    uniq_m, freq = np.unique(mult_per_hash, return_counts=True)
+    hist_pairs = [(int(m), float(f)) for m, f in zip(uniq_m, freq) if m > 0]
+    max_mult = int(uniq_m.max()) if len(uniq_m) else 0
+
+    opt = KGFitOptions(
+        max_copy=10, max_x_use=max_mult, u_hi=float(max_mult),
+        fit_error=True, fit_varw=True,
+    )
+    print("Classifying kmers...")
+    fit = fit_histogram(hist_pairs, opt)
+    data.fit = fit
+    P = fit.P
+    if verbose:
+        print(
+            f"[M::compute_and_classify_anchors] Fitted model: best NLL={fit.nll:.2f}, "
+            f"u_v={P.u_v:.2f} (hom mean), sd_v={P.sd_v:.2f} (hom SD), "
+            f"var_w={P.var_w:.2f}, p_d={P.p_d:.2f}, zp_copy={P.zp_copy:.2f}, "
+            f"zp_copy_het={P.zp_copy_het:.2f}, err_shape={P.err_shape:.2f}, "
+            f"max_copy={P.max_copy}",
+            file=sys.stderr,
+        )
+
+    # 8) classification (solver.cpp:830-885). multiplicity >= 1 always here.
+    labels = classify_labels(mult_per_hash, P)
+    homo_bv = (labels == HOM).astype(np.int8)
+    data.homo_bv = homo_bv
+    count_homo = int(homo_bv.sum())
+    count_het = S - count_homo
+    if verbose:
+        denom = max(1, count_homo + count_het)
+        print(
+            f"[M::compute_and_classify_anchors] Phasing done. "
+            f"Homozygous: {100.0*count_homo/denom:.2f}%, "
+            f"Heterozygous: {100.0*count_het/denom:.2f}%, "
+            f"Total kmers: {count_homo+count_het}",
+            file=sys.stderr,
+        )
+    return data

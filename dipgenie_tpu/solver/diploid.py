@@ -1,0 +1,315 @@
+"""Diploid pair DP over the levelized expanded graph — exact host tier.
+
+Equivalent of ``Approximator::diploid_dp_approximation_solver``
+(reference: src/approximator.cpp:362-1011):
+
+  * state (level ℓ, i, j, r): i,j index the two haplotype paths'
+    vertices within level ℓ, r = recombinations used so far;
+  * transition score for ((u1,v1) → (u2,v2)) =
+    |(H(u1)∪H(v1)) ∩ (H(u2)∪H(v2))| + |(T(u1)∪T(v1)) △ (T(u2)∪T(v2))|
+    over per-vertex HOM (H) / HET (T) colour sets
+    (approximator.cpp:269-311, 604-624). Computed here with colour
+    *bitsets*: popcount((h1|h2)&(h3|h4)) and popcount((t1|t2)^(t3|t4))
+    — exactly equivalent to the reference's 4-way sorted merges;
+  * relaxation with the deterministic tie-break (value, then smaller
+    pred_i, then smaller pred_j) (approximator.cpp:655-659); among
+    fully-tied candidates the first in (r asc, i, j, edge-order) wins,
+    matching single-threaded reference iteration order;
+  * instead of the reference's per-state EdgeNode linked lists
+    (approximator.cpp:381-529) we record per-level backpointer tables
+    (pred_i, pred_j, pred_r, wu, wv) and reconstruct the weighted-edge
+    lists by backtracking — including the doubled final-transition edge
+    (approximator.cpp:684-692) that makes r = #edges − 1;
+  * sequence stitching walks the original walks between consecutive
+    weighted edges, hopping haplotypes via 0-weight BFS
+    (``find_next_zero_hap``, approximator.cpp:732-755);
+  * prints DP value, per-path recombination counts and the
+    multiplicative approximation certificate (approximator.cpp:932-1004).
+
+This module is the exact reference tier (validated byte-identical on
+fixtures); `dipgenie_tpu.ops.diploid_jax` provides the TPU kernel with
+identical tie-break semantics, and tests assert agreement.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from collections import deque
+
+import numpy as np
+
+from ..graph.expanded import AnchorRec, ExpandedGraph
+from ..graph.pangenome import PangenomeIndex
+from .haploid import _fmt
+
+NEG_INF = -(2**31) // 4
+
+
+def build_color_masks(
+    g: ExpandedGraph, color_homo_bv: list[bool]
+) -> tuple[list[int], list[int]]:
+    """Per-vertex HOM/HET colour bitsets (approximator.cpp:430-453)."""
+    H = [0] * len(g.adj_list)
+    T = [0] * len(g.adj_list)
+    for v, colors in enumerate(g.color):
+        hm = tm = 0
+        for c in colors:
+            if color_homo_bv[c]:
+                hm |= 1 << c
+            else:
+                tm |= 1 << c
+        H[v], T[v] = hm, tm
+    return H, T
+
+
+def diploid_dp_solver(
+    g: ExpandedGraph,
+    R: int,
+    color_homo_bv: list[bool],
+    anchors_by_hap: list[list[AnchorRec]],
+    index: PangenomeIndex,
+    out=sys.stdout,
+    progress: bool = False,
+):
+    start_time = time.time()
+    L = len(g.vertices_in_level)
+    n = len(g.adj_list)
+    pos_in_level = [-1] * n
+    for l in range(L):
+        lv = g.vertices_in_level[l]
+        if l == 0 and len(lv) > 1:
+            print("There is more than one source on level zero!", file=out)
+        for i, v in enumerate(lv):
+            pos_in_level[v] = i
+
+    print("Creating hetro/hom-zygous colors per vertex lists", file=out)
+    Hm, Tm = build_color_masks(g, color_homo_bv)
+
+    print("Running DP", file=out)
+
+    # rolling state at current level: [(R+1), k, k]
+    val = np.zeros((R + 1, 1, 1), np.int64)
+    shet = np.zeros((R + 1, 1, 1), np.int64)
+    # per-level backpointer tables, filled for levels 1..L-1
+    back: list[dict[str, np.ndarray] | None] = [None] * L
+
+    rs = np.arange(R + 1)
+    for l in range(L - 1):
+        lnow = g.vertices_in_level[l]
+        lnext = g.vertices_in_level[l + 1]
+        k, k2 = len(lnow), len(lnext)
+        nval = np.full((R + 1, k2, k2), NEG_INF, np.int64)
+        nsh = np.zeros((R + 1, k2, k2), np.int64)
+        pi = np.full((R + 1, k2, k2), np.iinfo(np.int32).max, np.int64)
+        pj = np.full((R + 1, k2, k2), np.iinfo(np.int32).max, np.int64)
+        pr = np.full((R + 1, k2, k2), -1, np.int64)
+        wub = np.zeros((R + 1, k2, k2), np.int8)
+        wvb = np.zeros((R + 1, k2, k2), np.int8)
+
+        HL: dict[tuple[int, int], int] = {}
+        TL: dict[tuple[int, int], int] = {}
+        for i in range(k):
+            u1 = lnow[i]
+            au = g.adj_list[u1]
+            for j in range(k):
+                v1 = lnow[j]
+                src = val[:, i, j]
+                if not (src != NEG_INF).any():
+                    continue
+                hl = Hm[u1] | Hm[v1]
+                tl = Tm[u1] | Tm[v1]
+                ssrc = shet[:, i, j]
+                for u2, wu in au:
+                    iu2 = pos_in_level[u2]
+                    for v2, wv in g.adj_list[v1]:
+                        jv2 = pos_in_level[v2]
+                        w = wu + wv
+                        if w > R:
+                            continue
+                        symd = (tl ^ (Tm[u2] | Tm[v2])).bit_count()
+                        score = (hl & (Hm[u2] | Hm[v2])).bit_count() + symd
+                        lim = R + 1 - w
+                        cand = src[:lim] + score
+                        dv = nval[w:, iu2, jv2]
+                        valid = src[:lim] != NEG_INF
+                        better = valid & (
+                            (cand > dv)
+                            | ((cand == dv) & (i < pi[w:, iu2, jv2]))
+                            | (
+                                (cand == dv)
+                                & (i == pi[w:, iu2, jv2])
+                                & (j < pj[w:, iu2, jv2])
+                            )
+                        )
+                        if not better.any():
+                            continue
+                        bidx = np.nonzero(better)[0]
+                        nval[w + bidx, iu2, jv2] = cand[bidx]
+                        nsh[w + bidx, iu2, jv2] = ssrc[bidx] + symd
+                        pi[w + bidx, iu2, jv2] = i
+                        pj[w + bidx, iu2, jv2] = j
+                        pr[w + bidx, iu2, jv2] = bidx
+                        wub[w + bidx, iu2, jv2] = wu
+                        wvb[w + bidx, iu2, jv2] = wv
+        back[l + 1] = {"pi": pi, "pj": pj, "pr": pr, "wu": wub, "wv": wvb}
+        val, shet = nval, nsh
+        if progress and (l % max(1, (L - 1) // 100) == 0 or l == L - 2):
+            pct = int(((l + 1) * 100) / L)
+            print(f"\r[DP] {pct}% {l+1}/{L}", end="", file=sys.stderr)
+    if progress:
+        print(file=sys.stderr)
+
+    best_r = R
+    sink_val = int(val[best_r, 0, 0])
+    sink_shet = int(shet[best_r, 0, 0])
+    print(f"DP value: {sink_val}", file=out)
+
+    # ---- backtrack: reconstruct weighted edge lists ----
+    p1_edges: list[tuple[int, int]] = []
+    p2_edges: list[tuple[int, int]] = []
+    i2, j2, r2 = 0, 0, best_r
+    transitions: list[tuple[int, int, int, int, int, int]] = []  # l, i,j -> i2,j2 + w bits
+    for l in range(L - 1, 0, -1):
+        b = back[l]
+        bi = int(b["pi"][r2, i2, j2])
+        bj = int(b["pj"][r2, i2, j2])
+        br = int(b["pr"][r2, i2, j2])
+        wu = int(b["wu"][r2, i2, j2])
+        wv = int(b["wv"][r2, i2, j2])
+        transitions.append((l, bi, bj, i2, j2, wu, wv))
+        i2, j2, r2 = bi, bj, br
+    transitions.reverse()
+    for l, bi, bj, ti, tj, wu, wv in transitions:
+        u1 = g.vertices_in_level[l - 1][bi]
+        u2 = g.vertices_in_level[l][ti]
+        v1 = g.vertices_in_level[l - 1][bj]
+        v2 = g.vertices_in_level[l][tj]
+        if wu > 0:
+            p1_edges.append((u1, u2))
+        if wv > 0:
+            p2_edges.append((v1, v2))
+        if l == L - 1:  # doubled final edge (approximator.cpp:684-692)
+            p1_edges.append((u1, u2))
+            p2_edges.append((v1, v2))
+
+    r1 = len(p1_edges) - 1
+    r2_count = len(p2_edges) - 1
+
+    def find_next_zero_hap(src: int, target_hap: int) -> int:
+        if g.haplotype[src] == target_hap and len(g.original_vertex[src]) > 0:
+            return src
+        q = deque([src])
+        visited = {src}
+        while q:
+            u = q.popleft()
+            for v, w in g.adj_list[u]:
+                if w != 0:
+                    continue
+                if v in visited:
+                    continue
+                visited.add(v)
+                if g.haplotype[v] == target_hap and len(g.original_vertex[v]) > 0:
+                    return v
+                q.append(v)
+        return -1
+
+    def recover(weighted_edges: list[tuple[int, int]], tag: str):
+        color_freq: dict[int, int] = {}
+        colors: list[int] = []
+        hap_seq: list[str] = []
+        start_exp = g.vertices_in_level[0][0]
+        for ei, edge in enumerate(weighted_edges):
+            if len(g.original_vertex[edge[0]]) != 1:
+                print(
+                    f"{tag}: Vertex {edge[0]} in map back has "
+                    f"{len(g.original_vertex[edge[0]])} original vertices",
+                    file=out,
+                )
+                raise SystemExit(1)
+            end_exp = edge[0]
+            h = g.haplotype[end_exp]
+            if start_exp == g.vertices_in_level[0][0]:
+                for v in g.vertices_in_level[1]:
+                    if g.haplotype[v] == h:
+                        start_exp = v
+            start_org = g.original_vertex[start_exp][0]
+            end_org = g.original_vertex[end_exp][0]
+            activated = False
+            for t in range(len(index.paths[h])):
+                pv = int(index.paths[h][t])
+                if pv == start_org:
+                    activated = True
+                if activated:
+                    hap_seq.append(index.node_seq[pv])
+                if pv == end_org:
+                    activated = False
+                    break
+            for a in anchors_by_hap[h]:
+                if a.startOrg > start_org and a.endOrg < end_org:
+                    for c in a.colours:
+                        if c not in color_freq:
+                            color_freq[c] = 1
+                            colors.append(c)
+                        else:
+                            color_freq[c] += 1
+            if g.level[edge[1]] == L - 1:
+                break
+            next_edge = weighted_edges[ei + 1]
+            next_hap = g.haplotype[next_edge[0]]
+            ns = find_next_zero_hap(edge[1], next_hap)
+            if ns != -1:
+                start_exp = ns
+            else:
+                print(
+                    f"{tag} (path recovery) Could not find next_hap={next_hap}"
+                    f" from {edge[1]} via 0-weight edges",
+                    file=out,
+                )
+        return "".join(hap_seq), color_freq, colors
+
+    hap_1, p1_color_freq, p1_colors = recover(p1_edges, "P1")
+    hap_2, p2_color_freq, p2_colors = recover(p2_edges, "P2")
+
+    # ---- approximation certificate (approximator.cpp:932-1004) ----
+    p1_hom = sorted({c for c in p1_colors if color_homo_bv[c]})
+    p1_het = sorted({c for c in p1_colors if not color_homo_bv[c]})
+    p2_hom = sorted({c for c in p2_colors if color_homo_bv[c]})
+    p2_het = sorted({c for c in p2_colors if not color_homo_bv[c]})
+    inter = sorted(set(p1_hom) & set(p2_hom))
+    symd = sorted(set(p1_het) ^ set(p2_het))
+    intersection_count = len(inter)
+    symdiff_count = len(symd)
+    m_G_hom = sum(
+        max(p1_color_freq.get(c, 0), p2_color_freq.get(c, 0)) for c in inter
+    )
+    m_G_het = sum(p1_color_freq.get(c, 0) + p2_color_freq.get(c, 0) for c in symd)
+
+    def fdiv(a: float, b: float) -> float:
+        if b == 0:
+            if a == 0:
+                return math.copysign(math.nan, -1.0)
+            return math.copysign(math.inf, a)
+        return a / b
+
+    m_G_hom_avg = fdiv(float(m_G_hom), float(intersection_count))
+    m_G_het_avg = fdiv(float(m_G_het), float(symdiff_count))
+    # std::max(a, b) semantics: returns b only when a < b (NaN-comparisons false)
+    m_bar = m_G_het_avg if m_G_hom_avg < m_G_het_avg else m_G_hom_avg
+    loss_het = sink_shet - m_G_het
+    if math.isnan(m_G_het_avg):
+        additive_term = float("nan")
+    else:
+        additive_term = fdiv(float(loss_het), m_G_het_avg)
+    obj = intersection_count + symdiff_count
+    print(f"r: {best_r} obj: {obj}", file=out)
+    opt_obj_upper_bound = m_bar * (obj + additive_term)
+    print(
+        "Approximation certificate: multiplicative factor: "
+        f"{_fmt(fdiv(opt_obj_upper_bound, float(obj)) if obj else opt_obj_upper_bound * math.inf)}",
+        file=out,
+    )
+    elapsed_ms = int((time.time() - start_time) * 1000)
+    print(f"diploid_dp_approximation_solver took {elapsed_ms} ms", file=out)
+    return [(r1, r2_count, hap_1, hap_2)]

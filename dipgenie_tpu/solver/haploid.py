@@ -1,0 +1,136 @@
+"""Haploid recombination-constrained DP.
+
+Equivalent of ``Approximator::dp_approximation_solver``
+(reference: src/approximator.cpp:44-168):
+
+  * forward DP over the (vertex, recombinations) lattice in topological
+    order: ``dp[v][r+w] = max(dp[u][r] + |color(v)|)``
+    (approximator.cpp:55-67); dp starts at 0 everywhere, backpointers
+    only set on strict improvement;
+  * per-r backtrack from the sink collects distinct colours and
+    per-colour occurrence counts (approximator.cpp:74-102) and prints an
+    approximation-ratio certificate (approximator.cpp:104-113);
+  * best r chosen at the knee: first r where the Δcolors angle drops
+    below HAP_ANGLE_THRESHOLD=5° (approximator.cpp:115-136);
+  * the winning expanded path maps back to original vertices with
+    first-seen dedup (approximator.cpp:140-167).
+
+Vectorized over the r axis per edge; relaxation visit order (u
+ascending = topo id, r ascending, out-edges in adjacency order) and the
+strict-improvement backpointer rule match the reference exactly.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import numpy as np
+
+from ..graph.expanded import ExpandedGraph
+
+HAP_ANGLE_THRESHOLD = 5.0
+
+
+def dp_approximation_solver(g: ExpandedGraph, R: int, out=sys.stdout) -> list[int]:
+    n = len(g.adj_list)
+    dp = np.zeros((n, R + 1), np.int64)
+    back_vtx = np.full((n, R + 1), -1, np.int64)
+    back_r = np.full((n, R + 1), -1, np.int64)
+    csize = np.asarray([len(c) for c in g.color], np.int64)
+
+    for u in range(n):
+        du = dp[u]
+        for v, w in g.adj_list[u]:
+            # candidates for r2 in [w, R]: dp[u][r2-w] + |color(v)|
+            if w > R:
+                continue
+            cand = du[: R + 1 - w] + csize[v]
+            dst = dp[v]
+            sl = slice(w, R + 1)
+            better = cand > dst[sl]
+            if better.any():
+                dst[sl] = np.where(better, cand, dst[sl])
+                bv = back_vtx[v]
+                br = back_r[v]
+                rr = np.arange(0, R + 1 - w)
+                bv[sl] = np.where(better, u, bv[sl])
+                br[sl] = np.where(better, rr, br[sl])
+
+    # per-r backtrack (approximator.cpp:74-102)
+    colors_by_r: list[int] = []
+    occ_count_by_r: list[dict[int, int]] = []
+    for r in range(R + 1):
+        true_colours: set[int] = set()
+        occ_count: dict[int, int] = {}
+        cur_vtx, cur_r = n - 1, r
+        while cur_vtx != -1:
+            for c in g.color[cur_vtx]:
+                true_colours.add(c)
+                occ_count[c] = occ_count.get(c, 0) + 1
+            t = cur_vtx
+            cur_vtx = int(back_vtx[t, cur_r])
+            cur_r = int(back_r[t, cur_r])
+        colors_by_r.append(len(true_colours))
+        occ_count_by_r.append(occ_count)
+
+    for i in range(len(occ_count_by_r) - 1):
+        occ = occ_count_by_r[i]
+        avg = sum(occ.values()) / len(occ) if occ else float("nan")
+        print(f"Approximation ratio certificate: {_fmt(avg)}", file=out)
+
+    # knee pick (approximator.cpp:115-136)
+    best_r = 0
+    max_delta = 0.0
+    for i in range(len(colors_by_r) - 1):
+        print(f"r: {i} true score: {colors_by_r[i]}", file=out)
+        delta = colors_by_r[i + 1] - colors_by_r[i]
+        if abs(delta) > max_delta:
+            max_delta = abs(delta)
+    for r in range(len(colors_by_r) - 1):
+        delta = colors_by_r[r + 1] - colors_by_r[r]
+        # IEEE semantics of atan(delta/max_delta): 0/0 = -nan, x/0 = ±inf
+        if max_delta == 0:
+            if delta == 0:
+                angle_deg = math.copysign(math.nan, -1.0)
+            else:
+                angle_deg = math.degrees(math.atan(math.copysign(math.inf, delta)))
+        else:
+            angle_deg = math.degrees(math.atan(delta / max_delta))
+        print(
+            f"r: {r} -> {r + 1}, Δcolors: {delta}, angle: {_fmt(angle_deg)}°",
+            file=out,
+        )
+        if angle_deg < HAP_ANGLE_THRESHOLD:
+            best_r = r
+            break
+
+    print(f"Recombination count: {best_r}", file=sys.stderr)
+
+    # recover path at best_r
+    path: list[int] = []
+    cur_vtx, cur_r = n - 1, best_r
+    while cur_vtx != -1:
+        path.append(cur_vtx)
+        t = cur_vtx
+        cur_vtx = int(back_vtx[t, cur_r])
+        cur_r = int(back_r[t, cur_r])
+    path.reverse()
+
+    out_path: list[int] = []
+    seen: set[int] = set()
+    for u in path:
+        for u_org in g.original_vertex[u]:
+            if u_org not in seen:
+                seen.add(u_org)
+                out_path.append(u_org)
+    return out_path
+
+
+def _fmt(x: float) -> str:
+    """C++ std::cout default float formatting (6 significant digits)."""
+    if isinstance(x, float) and math.isnan(x):
+        return "-nan" if math.copysign(1.0, x) < 0 else "nan"
+    if x == int(x) and abs(x) < 1e15:
+        return str(int(x))
+    return f"{x:.6g}"

@@ -1,0 +1,116 @@
+"""End-to-end inference pipeline orchestration.
+
+Equivalent of main() + Approximator::solve
+(reference: src/main.cpp:24-209, src/approximator.cpp:1014-1331):
+load GFA → build index → read reads → anchors/classification →
+expanded graph → haploid or diploid DP → FASTA output.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from dataclasses import dataclass
+
+from ..graph.expanded import build_expanded_graph
+from ..graph.pangenome import PangenomeIndex
+from ..io.fasta import write_fasta
+from ..io.fastx import read_fastx
+from ..io.gfa import read_gfa
+from ..solver.anchors import AnchorData, compute_and_classify_anchors
+from ..solver.diploid import diploid_dp_solver
+from ..solver.haploid import dp_approximation_solver
+from ..utils.timing import log_stage
+
+
+def get_hap_name(gfa_name: str, reads_name: str) -> str:
+    """Reference filename munging (misc.cpp:73-101)."""
+    hap_name = os.path.basename(gfa_name)
+    dot = hap_name.rfind(".")
+    if dot != -1:
+        hap_name = hap_name[:dot]
+    hap_name += "_" + os.path.basename(reads_name)
+    dot = hap_name.rfind(".")
+    if dot != -1:
+        hap_name = hap_name[:dot]
+    return hap_name
+
+
+@dataclass
+class PipelineConfig:
+    k: int = 31  # options.cpp:7
+    w: int = 25  # options.cpp:8
+    recombination_limit: int = 18  # main.cpp:44
+    recombination_penalty: int = 100  # main.cpp:45
+    ploidy: int = 2  # main.cpp:50
+    threshold: float = 1.0  # main.cpp:48
+    num_threads: int = 4
+    debug: bool = False
+    verbose: bool = True
+    progress: bool = False
+    dp_backend: str = "auto"  # exact | jax | native | auto
+
+
+class Pipeline:
+    def __init__(self, gfa_file: str, reads_file: str, hap_file: str,
+                 cfg: PipelineConfig | None = None):
+        self.gfa_file = gfa_file
+        self.reads_file = reads_file
+        self.hap_file = hap_file
+        self.cfg = cfg or PipelineConfig()
+        self.hap_name = get_hap_name(gfa_file, reads_file)
+        self.index: PangenomeIndex | None = None
+        self.anchors: AnchorData | None = None
+
+    def load(self) -> None:
+        g = read_gfa(self.gfa_file)
+        if self.cfg.verbose:
+            log_stage("main", f"Loaded graph from: {self.gfa_file}")
+        self.index = PangenomeIndex.from_gfa(g)
+
+    def run(self, out=sys.stdout) -> None:
+        cfg = self.cfg
+        if self.index is None:
+            self.load()
+        reads = read_fastx(self.reads_file)
+        self.anchors = compute_and_classify_anchors(
+            self.index, reads, cfg.k, cfg.w, cfg.threshold, verbose=cfg.verbose
+        )
+        self.solve(diploid=(cfg.ploidy == 2), out=out)
+
+    def solve(self, diploid: bool, out=sys.stdout) -> None:
+        cfg = self.cfg
+        build = build_expanded_graph(self.index, self.anchors)
+        g = build.graph
+        g.topologically_reorder(build.sink)
+
+        if not diploid:
+            dp_path = dp_approximation_solver(g, cfg.recombination_limit, out=out)
+            dp_output = "".join(self.index.node_seq[u] for u in dp_path)
+            write_fasta(self.hap_file, [(f"dp_sol LN:{len(dp_output)}", dp_output)])
+        else:
+            color_homo_bv = [False] * build.num_colors
+            for c in range(build.num_colors):
+                if self.anchors.homo_bv[build.color_to_anchor[c]]:
+                    color_homo_bv[c] = True
+            g.strict_bfs_levelize_and_reorder()
+            solutions = diploid_dp_solver(
+                g, cfg.recombination_limit, color_homo_bv,
+                build.anchors_by_hap, self.index, out=out,
+                progress=cfg.progress,
+            )
+            for r1, r2, s1, s2 in solutions:
+                print(
+                    f"recombinations in P1: {r1}, recombinations in P2: {r2}"
+                    f", bp of P1: {len(s1)}, bp of P2: {len(s2)}",
+                    file=out,
+                )
+            if len(solutions) == 1:
+                r1, r2, s1, s2 = solutions[0]
+                write_fasta(
+                    self.hap_file,
+                    [(f"sol_1 bp:{len(s1)}", s1), (f"sol_2 bp:{len(s2)}", s2)],
+                )
+            else:
+                print("No solution reported, output file not written.", file=out)
+        print(f"Diploid sequences written to: {self.hap_file}", file=out)
