@@ -96,12 +96,56 @@ def _rank_rows(cols: np.ndarray) -> np.ndarray:
 
 
 def _pack2bit(codes: np.ndarray, n_kmers: int, k: int) -> np.ndarray:
-    """[n_kmers] uint64, 2-bit big-endian packing of each k-mer (k<=32)."""
+    """[n_kmers] uint64, 2-bit big-endian packing of each k-mer (k<=32).
+
+    Packs 4 bases at a time via a precomputed quad byte to cut the
+    shift-or loop from k to ~k/4 iterations."""
     out = np.zeros(n_kmers, np.uint64)
+    n = len(codes)
+    if n >= 4:
+        quad = (
+            (codes[: n - 3].astype(np.uint64) << np.uint64(6))
+            | (codes[1 : n - 2].astype(np.uint64) << np.uint64(4))
+            | (codes[2 : n - 1].astype(np.uint64) << np.uint64(2))
+            | codes[3:].astype(np.uint64)
+        )
+    else:
+        quad = None
+    j = 0
+    while j + 4 <= k:
+        out |= quad[j : j + n_kmers] << np.uint64(2 * (k - 4 - j))
+        j += 4
     c = codes.astype(np.uint64)
-    for j in range(k):
+    while j < k:
         out |= c[j : j + n_kmers] << np.uint64(2 * (k - 1 - j))
+        j += 1
     return out
+
+
+def _window_min_rightmost(ranks: np.ndarray, w: int) -> np.ndarray:
+    """Per-window position of the minimum, rightmost on ties.
+
+    O(N) two-block sliding minimum over keys packed as
+    ``rank << SH | (maxpos - j)`` so the packed minimum simultaneously
+    encodes the minimal rank and, among equals, the largest position j —
+    exactly the deque pop rule ``>=`` of solver.cpp:316-326.
+    """
+    nk = len(ranks)
+    sh = max(1, int(nk - 1).bit_length())
+    maxpos = (1 << sh) - 1
+    packed = (ranks.astype(np.int64) << np.int64(sh)) | (
+        np.int64(maxpos) - np.arange(nk, dtype=np.int64)
+    )
+    nw = nk - w + 1
+    pad = (-nk) % w
+    arr = np.concatenate(
+        [packed, np.full(pad, np.iinfo(np.int64).max, np.int64)]
+    )
+    blocks = arr.reshape(-1, w)
+    prefix = np.minimum.accumulate(blocks, axis=1).reshape(-1)
+    suffix = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].reshape(-1)
+    wmin = np.minimum(suffix[:nw], prefix[w - 1 : w - 1 + nw])
+    return np.int64(maxpos) - (wmin & np.int64(maxpos))
 
 
 def sketch_sequence(seq: str | bytes, k: int, w: int) -> Minimizers:
@@ -129,7 +173,9 @@ def sketch_sequence(seq: str | bytes, k: int, w: int) -> Minimizers:
         rc = packed_cr[n0 - k - np.arange(nk)]
         is_rc = rc < fwd
         keys = np.where(is_rc, rc, fwd)
-        ranks = keys.astype(np.int64)  # < 2^62 for k <= 31, order-preserving
+        # dense ranks (one sort) so ranks fit alongside a position field
+        _, ranks = np.unique(keys, return_inverse=True)
+        ranks = ranks.astype(np.int64)
     else:
         pad = np.zeros(7, np.uint8)
         fcols = _pack_cols_be(np.concatenate([up, pad]), nk, k)
@@ -141,9 +187,7 @@ def sketch_sequence(seq: str | bytes, k: int, w: int) -> Minimizers:
 
     # sliding-window min, rightmost tie (solver.cpp:316-326)
     nw = nk - w + 1
-    winview = np.lib.stride_tricks.sliding_window_view(ranks, w)
-    arg_rev = np.argmin(winview[:, ::-1], axis=1)
-    minpos = np.arange(nw, dtype=np.int64) + (w - 1 - arg_rev)
+    minpos = _window_min_rightmost(ranks, w)
 
     # run-compress identical consecutive minimizer positions
     runstart = np.empty(nw, bool)
