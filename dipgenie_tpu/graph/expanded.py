@@ -318,11 +318,22 @@ def build_expanded_graph(
             colour_id += 1
 
     # sweep per haplotype (approximator.cpp:1193-1246)
+    from ..utils.stdsort import std_sort_by_keys3
+
     for h in range(nH):
         vec = anchors_by_hap[h]
         if not vec:
             continue
-        vec.sort(key=lambda r: (r.startExp, r.endExp))
+        # std::sort by (startExp, endExp): tie order (identical spans with
+        # different colours) is observable via colour containment unions,
+        # so reproduce libstdc++'s introsort exactly.
+        vec = std_sort_by_keys3(
+            vec,
+            [r.startExp for r in vec],
+            [r.endExp for r in vec],
+            [0] * len(vec),
+        )
+        anchors_by_hap[h] = vec
         stk: list[AnchorRec] = []
         for anc in vec:
             while stk and stk[-1].endExp < anc.startExp:

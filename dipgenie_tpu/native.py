@@ -1,0 +1,173 @@
+"""ctypes bindings for the native host runtime (native/dgcore.cpp).
+
+Builds the shared library on demand (g++ is assumed present; the repo
+ships no prebuilt binaries). Every entry point has a pure-Python/numpy
+fallback elsewhere in the package, so `available()` gating is enough.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_NATIVE_DIR = os.path.join(_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libdgcore.so")
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s", "-C", _NATIVE_DIR],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    src = os.path.join(_NATIVE_DIR, "dgcore.cpp")
+    if not os.path.exists(_LIB_PATH) or (
+        os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    ):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    c_i8p = np.ctypeslib.ndpointer(np.int8, flags="C")
+    c_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
+    c_i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+    c_i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+    c_u64p = np.ctypeslib.ndpointer(np.uint64, flags="C")
+
+    lib.dg_sketch.restype = ctypes.c_int64
+    lib.dg_sketch.argtypes = [
+        c_u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, c_u64p, c_i64p,
+    ]
+    lib.dg_sketch_batch.restype = None
+    lib.dg_sketch_batch.argtypes = [
+        c_u8p, c_i64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        c_u64p, c_i64p, ctypes.c_int32,
+    ]
+    lib.dg_haploid_dp.restype = None
+    lib.dg_haploid_dp.argtypes = [
+        ctypes.c_int64, ctypes.c_int32, c_i64p, c_i32p, c_i8p, c_i64p,
+        c_i32p, c_i32p, c_i32p,
+    ]
+    lib.dg_backtrack.restype = ctypes.c_int64
+    lib.dg_backtrack.argtypes = [
+        ctypes.c_int64, ctypes.c_int32, c_i32p, c_i32p, ctypes.c_int32, c_i32p,
+    ]
+    lib.dg_std_sort3.restype = None
+    lib.dg_std_sort3.argtypes = [c_i64p, c_i64p, c_i64p, c_i32p, ctypes.c_int64]
+    lib.dg_diploid_dp.restype = ctypes.c_int32
+    lib.dg_diploid_dp.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        c_i64p,  # level_ptr
+        c_i64p, c_i32p, c_i8p,  # adjacency CSR
+        c_i64p, c_i32p,  # hom colors CSR
+        c_i64p, c_i32p,  # het colors CSR
+        c_i64p,  # out_shet
+        c_i32p,  # out_trans
+        ctypes.c_int32, ctypes.c_int32,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def sketch(seq_bytes: np.ndarray, k: int, w: int):
+    """Native minimizer scan; returns (hashes, positions)."""
+    lib = get_lib()
+    n = len(seq_bytes)
+    out_h = np.empty(max(n, 1), np.uint64)
+    out_p = np.empty(max(n, 1), np.int64)
+    cnt = lib.dg_sketch(
+        np.ascontiguousarray(seq_bytes, np.uint8), n, k, w, out_h, out_p
+    )
+    return out_h[:cnt].copy(), out_p[:cnt].copy()
+
+
+def sketch_batch(seqs: list[bytes], k: int, w: int, n_threads: int = 0):
+    """Native batch scan; returns list of per-read hash arrays."""
+    lib = get_lib()
+    offsets = np.zeros(len(seqs) + 1, np.int64)
+    for i, s in enumerate(seqs):
+        offsets[i + 1] = offsets[i] + len(s)
+    blob = np.frombuffer(b"".join(seqs), np.uint8) if seqs else np.zeros(1, np.uint8)
+    blob = np.ascontiguousarray(blob)
+    if len(blob) == 0:
+        blob = np.zeros(1, np.uint8)
+    out_h = np.empty(max(int(offsets[-1]), 1), np.uint64)
+    out_off = np.zeros(len(seqs) + 1, np.int64)
+    lib.dg_sketch_batch(blob, offsets, len(seqs), k, w, out_h, out_off, n_threads)
+    return [out_h[out_off[i] : out_off[i + 1]].copy() for i in range(len(seqs))]
+
+
+def haploid_dp(adj_ptr, adj_v, adj_w, color_size, R: int):
+    lib = get_lib()
+    n = len(adj_ptr) - 1
+    dp = np.empty((n, R + 1), np.int32)
+    bv = np.empty((n, R + 1), np.int32)
+    br = np.empty((n, R + 1), np.int32)
+    lib.dg_haploid_dp(
+        n, R,
+        np.ascontiguousarray(adj_ptr, np.int64),
+        np.ascontiguousarray(adj_v, np.int32),
+        np.ascontiguousarray(adj_w, np.int8),
+        np.ascontiguousarray(color_size, np.int64),
+        dp.reshape(-1), bv.reshape(-1), br.reshape(-1),
+    )
+    return dp, bv, br
+
+
+def backtrack(bv, br, r: int):
+    lib = get_lib()
+    n, W = bv.shape
+    out = np.empty(n, np.int32)
+    ln = lib.dg_backtrack(
+        n, W - 1, np.ascontiguousarray(bv.reshape(-1)),
+        np.ascontiguousarray(br.reshape(-1)), r, out,
+    )
+    return out[:ln][::-1].copy()
+
+
+def diploid_dp(level_ptr, adj_ptr, adj_v, adj_w, hom_ptr, hom_colors,
+               het_ptr, het_colors, R: int, n_threads: int = 0,
+               progress: bool = False):
+    """Returns (sink_value, sink_shet, transitions[L,5])."""
+    lib = get_lib()
+    L = len(level_ptr) - 1
+    nv = len(adj_ptr) - 1
+    out_shet = np.zeros(1, np.int64)
+    out_trans = np.full(5 * L, -1, np.int32)
+    val = lib.dg_diploid_dp(
+        nv, L, R,
+        np.ascontiguousarray(level_ptr, np.int64),
+        np.ascontiguousarray(adj_ptr, np.int64),
+        np.ascontiguousarray(adj_v, np.int32),
+        np.ascontiguousarray(adj_w, np.int8),
+        np.ascontiguousarray(hom_ptr, np.int64),
+        np.ascontiguousarray(hom_colors, np.int32),
+        np.ascontiguousarray(het_ptr, np.int64),
+        np.ascontiguousarray(het_colors, np.int32),
+        out_shet, out_trans, n_threads, 1 if progress else 0,
+    )
+    return int(val), int(out_shet[0]), out_trans.reshape(L, 5)

@@ -143,12 +143,27 @@ def compute_and_classify_anchors(
             anchor_hits[r] = [[] for _ in range(H)]
             filtered += 1
 
-    # 6) sort occurrences by (first, last), empties last (solver.cpp:641-663)
+    # 6) sort occurrences by (first, last), empties last (solver.cpp:641-663).
+    # std::sort tie order is observable downstream; lists <= 16 elements hit
+    # libstdc++'s insertion sort (stable), longer lists go through the
+    # introsort-compatible path.
+    from ..utils.stdsort import std_sort_by_keys3
+
+    def chain_keys(chains):
+        k1 = [1 if len(c) == 0 else 0 for c in chains]
+        k2 = [0 if len(c) == 0 else c[0] for c in chains]
+        k3 = [0 if len(c) == 0 else c[-1] for c in chains]
+        return k1, k2, k3
+
     for r in range(S):
         for h in range(H):
-            anchor_hits[r][h].sort(
-                key=lambda c: (1,) if len(c) == 0 else (0, c[0], c[-1])
-            )
+            chains = anchor_hits[r][h]
+            if len(chains) <= 16:
+                chains.sort(
+                    key=lambda c: (1,) if len(c) == 0 else (0, c[0], c[-1])
+                )
+            else:
+                anchor_hits[r][h] = std_sort_by_keys3(chains, *chain_keys(chains))
     data.anchor_hits = anchor_hits
 
     if verbose:

@@ -64,30 +64,17 @@ def build_color_masks(
     return H, T
 
 
-def diploid_dp_solver(
-    g: ExpandedGraph,
-    R: int,
-    color_homo_bv: list[bool],
-    anchors_by_hap: list[list[AnchorRec]],
-    index: PangenomeIndex,
-    out=sys.stdout,
-    progress: bool = False,
-):
-    start_time = time.time()
+def _forward_exact(g: ExpandedGraph, R: int, Hm, Tm, progress: bool = False):
+    """Exact numpy forward DP; returns (sink_val, sink_shet, transitions).
+
+    transitions[t] = (level, pred_i, pred_j, i2, j2, wu, wv) along the
+    backtracked optimal path, level ascending 1..L-1."""
     L = len(g.vertices_in_level)
     n = len(g.adj_list)
     pos_in_level = [-1] * n
     for l in range(L):
-        lv = g.vertices_in_level[l]
-        if l == 0 and len(lv) > 1:
-            print("There is more than one source on level zero!", file=out)
-        for i, v in enumerate(lv):
+        for i, v in enumerate(g.vertices_in_level[l]):
             pos_in_level[v] = i
-
-    print("Creating hetro/hom-zygous colors per vertex lists", file=out)
-    Hm, Tm = build_color_masks(g, color_homo_bv)
-
-    print("Running DP", file=out)
 
     # rolling state at current level: [(R+1), k, k]
     val = np.zeros((R + 1, 1, 1), np.int64)
@@ -164,13 +151,9 @@ def diploid_dp_solver(
     best_r = R
     sink_val = int(val[best_r, 0, 0])
     sink_shet = int(shet[best_r, 0, 0])
-    print(f"DP value: {sink_val}", file=out)
 
-    # ---- backtrack: reconstruct weighted edge lists ----
-    p1_edges: list[tuple[int, int]] = []
-    p2_edges: list[tuple[int, int]] = []
     i2, j2, r2 = 0, 0, best_r
-    transitions: list[tuple[int, int, int, int, int, int]] = []  # l, i,j -> i2,j2 + w bits
+    transitions: list[tuple[int, int, int, int, int, int, int]] = []
     for l in range(L - 1, 0, -1):
         b = back[l]
         bi = int(b["pi"][r2, i2, j2])
@@ -181,6 +164,101 @@ def diploid_dp_solver(
         transitions.append((l, bi, bj, i2, j2, wu, wv))
         i2, j2, r2 = bi, bj, br
     transitions.reverse()
+    return sink_val, sink_shet, transitions
+
+
+def _forward_native(g: ExpandedGraph, R: int, color_homo_bv, n_threads: int = 0,
+                    progress: bool = False):
+    """Native (dgcore) forward DP; same return contract as _forward_exact."""
+    import numpy as np
+
+    from .. import native
+
+    L = len(g.vertices_in_level)
+    n = len(g.adj_list)
+    level_ptr = np.zeros(L + 1, np.int64)
+    for l in range(L):
+        level_ptr[l + 1] = level_ptr[l] + len(g.vertices_in_level[l])
+        # levelized ids are consecutive per level
+        assert g.vertices_in_level[l][0] == level_ptr[l]
+    deg = np.asarray([len(a) for a in g.adj_list], np.int64)
+    adj_ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(deg, out=adj_ptr[1:])
+    adj_v = np.empty(int(adj_ptr[-1]), np.int32)
+    adj_w = np.empty(int(adj_ptr[-1]), np.int8)
+    pos = 0
+    for u in range(n):
+        for v, w in g.adj_list[u]:
+            adj_v[pos] = v
+            adj_w[pos] = w
+            pos += 1
+    hom_lists = []
+    het_lists = []
+    for colors in g.color:
+        hm = [c for c in colors if color_homo_bv[c]]
+        tm = [c for c in colors if not color_homo_bv[c]]
+        hom_lists.append(hm)
+        het_lists.append(tm)
+    hom_ptr = np.zeros(n + 1, np.int64)
+    het_ptr = np.zeros(n + 1, np.int64)
+    for u in range(n):
+        hom_ptr[u + 1] = hom_ptr[u] + len(hom_lists[u])
+        het_ptr[u + 1] = het_ptr[u] + len(het_lists[u])
+    hom_colors = np.fromiter(
+        (c for lst in hom_lists for c in lst), np.int32, int(hom_ptr[-1])
+    )
+    het_colors = np.fromiter(
+        (c for lst in het_lists for c in lst), np.int32, int(het_ptr[-1])
+    )
+    sink_val, sink_shet, trans = native.diploid_dp(
+        level_ptr, adj_ptr, adj_v, adj_w, hom_ptr, hom_colors,
+        het_ptr, het_colors, R, n_threads, progress,
+    )
+    transitions = []
+    i2, j2 = 0, 0
+    chain = []
+    for l in range(L - 1, 0, -1):
+        pi, pj, _pr, wu, wv = (int(x) for x in trans[l])
+        chain.append((l, pi, pj, i2, j2, wu, wv))
+        i2, j2 = pi, pj
+    chain.reverse()
+    transitions = chain
+    return sink_val, sink_shet, transitions
+
+
+def diploid_dp_solver(
+    g: ExpandedGraph,
+    R: int,
+    color_homo_bv: list[bool],
+    anchors_by_hap: list[list[AnchorRec]],
+    index: PangenomeIndex,
+    out=sys.stdout,
+    progress: bool = False,
+    backend: str = "exact",
+    n_threads: int = 0,
+):
+    start_time = time.time()
+    L = len(g.vertices_in_level)
+    if L > 0 and len(g.vertices_in_level[0]) > 1:
+        print("There is more than one source on level zero!", file=out)
+
+    print("Creating hetro/hom-zygous colors per vertex lists", file=out)
+    print("Running DP", file=out)
+    if backend == "native":
+        sink_val, sink_shet, transitions = _forward_native(
+            g, R, color_homo_bv, n_threads=n_threads, progress=progress
+        )
+    else:
+        Hm, Tm = build_color_masks(g, color_homo_bv)
+        sink_val, sink_shet, transitions = _forward_exact(
+            g, R, Hm, Tm, progress=progress
+        )
+    best_r = R
+    print(f"DP value: {sink_val}", file=out)
+
+    # ---- weighted edge lists from backtracked transitions ----
+    p1_edges: list[tuple[int, int]] = []
+    p2_edges: list[tuple[int, int]] = []
     for l, bi, bj, ti, tj, wu, wv in transitions:
         u1 = g.vertices_in_level[l - 1][bi]
         u2 = g.vertices_in_level[l][ti]

@@ -94,10 +94,16 @@ class Pipeline:
                 if self.anchors.homo_bv[build.color_to_anchor[c]]:
                     color_homo_bv[c] = True
             g.strict_bfs_levelize_and_reorder()
+            backend = cfg.dp_backend
+            if backend == "auto":
+                from .. import native as _native
+
+                backend = "native" if _native.available() else "exact"
             solutions = diploid_dp_solver(
                 g, cfg.recombination_limit, color_homo_bv,
                 build.anchors_by_hap, self.index, out=out,
-                progress=cfg.progress,
+                progress=cfg.progress, backend=backend,
+                n_threads=cfg.num_threads,
             )
             for r1, r2, s1, s2 in solutions:
                 print(

@@ -1,0 +1,523 @@
+// dgcore — native host runtime for dipgenie_tpu.
+//
+// C++ equivalents of the reference's native compute components (reference
+// at /root/reference, cited per function), exposed through a C ABI for
+// ctypes. These are *new* implementations designed around dense arrays
+// handed over from numpy — not ports of the reference's data structures:
+//
+//   * dg_sketch          — canonical (w,k)-minimizer scan + MurmurHash3
+//                          fold (semantics of src/solver.cpp:277-412)
+//   * dg_sketch_batch    — OpenMP batch scan over many reads
+//   * dg_haploid_dp      — (vertex, r) lattice DP (src/approximator.cpp:44-67)
+//   * dg_diploid_dp      — level-synchronous diploid pair DP
+//                          (src/approximator.cpp:362-716) in *gather* form:
+//                          each destination state reduces over its
+//                          predecessor candidates, making the relaxation
+//                          lock-free and deterministic (the reference
+//                          scatters with 65536 striped locks).
+//
+// Colour-set scoring uses per-level-window re-indexed bitsets:
+// |(A∪B)∩(C∪D)| = popcount((a|b)&(c|d)) and |(E∪F)△(G∪H)| =
+// popcount((e|f)^(g|h)) over uint64 words — exactly the counts the
+// reference computes with 4-way sorted merges (approximator.cpp:269-311).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <cstdlib>
+#include <vector>
+#include <deque>
+#include <unordered_map>
+#include <algorithm>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// MurmurHash3 x64_128 (public-domain algorithm, Austin Appleby) + XOR fold,
+// matching hash128_to_64_ (src/solver.cpp:16-24).
+// ---------------------------------------------------------------------------
+static inline uint64_t rotl64(uint64_t x, int8_t r) {
+    return (x << r) | (x >> (64 - r));
+}
+
+static inline uint64_t fmix64(uint64_t k) {
+    k ^= k >> 33;
+    k *= 0xff51afd7ed558ccdULL;
+    k ^= k >> 33;
+    k *= 0xc4ceb9fe1a85ec53ULL;
+    k ^= k >> 33;
+    return k;
+}
+
+uint64_t dg_murmur_fold64(const uint8_t* data, int64_t len) {
+    const uint64_t c1 = 0x87c37b91114253d5ULL;
+    const uint64_t c2 = 0x4cf5ad432745937fULL;
+    uint64_t h1 = 0, h2 = 0;
+    const int64_t nblocks = len / 16;
+    for (int64_t i = 0; i < nblocks; i++) {
+        uint64_t k1, k2;
+        memcpy(&k1, data + 16 * i, 8);
+        memcpy(&k2, data + 16 * i + 8, 8);
+        k1 *= c1; k1 = rotl64(k1, 31); k1 *= c2; h1 ^= k1;
+        h1 = rotl64(h1, 27); h1 += h2; h1 = h1 * 5 + 0x52dce729;
+        k2 *= c2; k2 = rotl64(k2, 33); k2 *= c1; h2 ^= k2;
+        h2 = rotl64(h2, 31); h2 += h1; h2 = h2 * 5 + 0x38495ab5;
+    }
+    const uint8_t* tail = data + nblocks * 16;
+    uint64_t k1 = 0, k2 = 0;
+    switch (len & 15) {
+        case 15: k2 ^= ((uint64_t)tail[14]) << 48; [[fallthrough]];
+        case 14: k2 ^= ((uint64_t)tail[13]) << 40; [[fallthrough]];
+        case 13: k2 ^= ((uint64_t)tail[12]) << 32; [[fallthrough]];
+        case 12: k2 ^= ((uint64_t)tail[11]) << 24; [[fallthrough]];
+        case 11: k2 ^= ((uint64_t)tail[10]) << 16; [[fallthrough]];
+        case 10: k2 ^= ((uint64_t)tail[9]) << 8; [[fallthrough]];
+        case 9:
+            k2 ^= ((uint64_t)tail[8]);
+            k2 *= c2; k2 = rotl64(k2, 33); k2 *= c1; h2 ^= k2;
+            [[fallthrough]];
+        case 8: k1 ^= ((uint64_t)tail[7]) << 56; [[fallthrough]];
+        case 7: k1 ^= ((uint64_t)tail[6]) << 48; [[fallthrough]];
+        case 6: k1 ^= ((uint64_t)tail[5]) << 40; [[fallthrough]];
+        case 5: k1 ^= ((uint64_t)tail[4]) << 32; [[fallthrough]];
+        case 4: k1 ^= ((uint64_t)tail[3]) << 24; [[fallthrough]];
+        case 3: k1 ^= ((uint64_t)tail[2]) << 16; [[fallthrough]];
+        case 2: k1 ^= ((uint64_t)tail[1]) << 8; [[fallthrough]];
+        case 1:
+            k1 ^= ((uint64_t)tail[0]);
+            k1 *= c1; k1 = rotl64(k1, 31); k1 *= c2; h1 ^= k1;
+    }
+    h1 ^= (uint64_t)len; h2 ^= (uint64_t)len;
+    h1 += h2; h2 += h1;
+    h1 = fmix64(h1); h2 = fmix64(h2);
+    h1 += h2; h2 += h1;
+    return h1 ^ h2;
+}
+
+// ---------------------------------------------------------------------------
+// Minimizer sketching (semantics of src/solver.cpp:277-412):
+// uppercase, canonical = string-min(fwd, revcomp), window min with
+// rightmost tie (deque pop rule ">="), consecutive-hash dedup.
+// ---------------------------------------------------------------------------
+
+static uint8_t UPPER_TAB[256];
+static uint8_t COMP_TAB[256];
+static int8_t CODE_TAB[256];
+static bool tabs_init = false;
+
+static void init_tabs() {
+    if (tabs_init) return;
+    for (int i = 0; i < 256; i++) {
+        UPPER_TAB[i] = (i >= 'a' && i <= 'z') ? i - 32 : i;
+        COMP_TAB[i] = i;
+        CODE_TAB[i] = -1;
+    }
+    COMP_TAB['A'] = 'T'; COMP_TAB['T'] = 'A';
+    COMP_TAB['C'] = 'G'; COMP_TAB['G'] = 'C';
+    CODE_TAB['A'] = 0; CODE_TAB['C'] = 1; CODE_TAB['G'] = 2; CODE_TAB['T'] = 3;
+    tabs_init = true;
+}
+
+// Scan one sequence. Returns number of emitted minimizers; fills
+// out_hashes/out_pos (caller capacity >= n). Thread-safe after init.
+int64_t dg_sketch(const uint8_t* seq, int64_t n, int32_t k, int32_t w,
+                  uint64_t* out_hashes, int64_t* out_pos) {
+    init_tabs();
+    if (n < (int64_t)w + k - 1) return 0;
+    std::vector<uint8_t> up(n), crev(n);
+    bool pure = true;
+    for (int64_t i = 0; i < n; i++) {
+        up[i] = UPPER_TAB[seq[i]];
+        if (CODE_TAB[up[i]] < 0) pure = false;
+    }
+    for (int64_t i = 0; i < n; i++) crev[i] = COMP_TAB[up[n - 1 - i]];
+
+    const int64_t nk = n - k + 1;
+    int64_t count = 0;
+    uint64_t prev_hash = UINT64_MAX;
+
+    auto emit = [&](int64_t pos, bool is_rc) {
+        const uint8_t* p = is_rc ? crev.data() + (n - k - pos) : up.data() + pos;
+        uint64_t h = dg_murmur_fold64(p, k);
+        if (h != prev_hash) {
+            prev_hash = h;
+            out_hashes[count] = h;
+            out_pos[count] = pos;
+            count++;
+        }
+    };
+
+    if (pure && k <= 31) {
+        // rolling 2-bit packed canonical k-mers; numeric order == string order
+        const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+        std::vector<uint64_t> canon(nk);
+        std::vector<uint8_t> isrc(nk);
+        uint64_t f = 0, r = 0;
+        const int shift = 2 * (k - 1);
+        for (int64_t i = 0; i < n; i++) {
+            int c = CODE_TAB[up[i]];
+            f = ((f << 2) | (uint64_t)c) & mask;
+            r = (r >> 2) | ((uint64_t)(3 - c) << shift);
+            if (i >= k - 1) {
+                int64_t pos = i - k + 1;
+                if (r < f) { canon[pos] = r; isrc[pos] = 1; }
+                else       { canon[pos] = f; isrc[pos] = 0; }
+            }
+        }
+        // monotonic deque of (value, pos), pop-back on >= (solver.cpp:316)
+        std::deque<int64_t> dq;  // positions; values via canon[]
+        for (int64_t i = 0; i < nk; i++) {
+            while (!dq.empty() && canon[dq.back()] >= canon[i]) dq.pop_back();
+            dq.push_back(i);
+            if (dq.front() <= i - w) dq.pop_front();
+            if (i >= w - 1) emit(dq.front(), isrc[dq.front()]);
+        }
+    } else {
+        // general byte-comparison path (handles N/IUPAC like the reference)
+        auto fwd_ptr = [&](int64_t pos) { return up.data() + pos; };
+        auto rc_ptr = [&](int64_t pos) { return crev.data() + (n - k - pos); };
+        auto canon_ptr = [&](int64_t pos, bool* is_rc) {
+            const uint8_t* f = fwd_ptr(pos);
+            const uint8_t* r = rc_ptr(pos);
+            int c = memcmp(r, f, k);
+            *is_rc = c < 0;
+            return c < 0 ? r : f;
+        };
+        std::deque<std::pair<const uint8_t*, int64_t>> dq;
+        std::vector<uint8_t> isrc(nk);
+        for (int64_t i = 0; i < nk; i++) {
+            bool rcflag;
+            const uint8_t* cp = canon_ptr(i, &rcflag);
+            isrc[i] = rcflag;
+            while (!dq.empty() && memcmp(dq.back().first, cp, k) >= 0)
+                dq.pop_back();
+            dq.emplace_back(cp, i);
+            if (dq.front().second <= i - w) dq.pop_front();
+            if (i >= w - 1) emit(dq.front().second, isrc[dq.front().second]);
+        }
+    }
+    return count;
+}
+
+// Batch scan: reads concatenated in `seqs` with offsets [nreads+1].
+// Emits per-read minimizer hash lists into out_hashes with out_offsets.
+// Positions are not needed for reads (only the hash set is used).
+void dg_sketch_batch(const uint8_t* seqs, const int64_t* offsets,
+                     int64_t nreads, int32_t k, int32_t w,
+                     uint64_t* out_hashes, int64_t* out_offsets,
+                     int32_t n_threads) {
+    init_tabs();
+#ifdef _OPENMP
+    omp_set_num_threads(n_threads > 0 ? n_threads : 1);
+#endif
+    std::vector<int64_t> counts(nreads, 0);
+    std::vector<std::vector<uint64_t>> results(nreads);
+#pragma omp parallel for schedule(dynamic, 64)
+    for (int64_t r = 0; r < nreads; r++) {
+        int64_t len = offsets[r + 1] - offsets[r];
+        if (len < (int64_t)w + k - 1) continue;
+        std::vector<uint64_t> hs(len);
+        std::vector<int64_t> ps(len);
+        int64_t c = dg_sketch(seqs + offsets[r], len, k, w, hs.data(), ps.data());
+        results[r].assign(hs.begin(), hs.begin() + c);
+        counts[r] = c;
+    }
+    int64_t total = 0;
+    for (int64_t r = 0; r < nreads; r++) {
+        out_offsets[r] = total;
+        memcpy(out_hashes + total, results[r].data(), counts[r] * 8);
+        total += counts[r];
+    }
+    out_offsets[nreads] = total;
+}
+
+// ---------------------------------------------------------------------------
+// Haploid (vertex, r) DP (src/approximator.cpp:44-67 semantics):
+// dp starts at 0, strict-improvement backpointers, visit order
+// u ascending (topological ids), r ascending, out-edges in order.
+// ---------------------------------------------------------------------------
+void dg_haploid_dp(int64_t n, int32_t R,
+                   const int64_t* adj_ptr, const int32_t* adj_v,
+                   const int8_t* adj_w, const int64_t* color_size,
+                   int32_t* dp, int32_t* back_vtx, int32_t* back_r) {
+    const int32_t W = R + 1;
+    memset(dp, 0, sizeof(int32_t) * n * W);
+    for (int64_t i = 0; i < n * W; i++) back_vtx[i] = -1;
+    for (int64_t i = 0; i < n * W; i++) back_r[i] = -1;
+    for (int64_t u = 0; u < n; u++) {
+        const int32_t* du = dp + u * W;
+        for (int32_t r = 0; r <= R; r++) {
+            int32_t base = du[r];
+            for (int64_t e = adj_ptr[u]; e < adj_ptr[u + 1]; e++) {
+                int32_t v = adj_v[e];
+                int32_t wv = adj_w[e];
+                int32_t r2 = r + wv;
+                if (r2 > R) continue;
+                int32_t cand = base + (int32_t)color_size[v];
+                int64_t idx = (int64_t)v * W + r2;
+                if (cand > dp[idx]) {
+                    dp[idx] = cand;
+                    back_vtx[idx] = (int32_t)u;
+                    back_r[idx] = r;
+                }
+            }
+        }
+    }
+}
+
+// Backtrack a single r lattice path from vertex n-1. Returns path length
+// (reversed order: sink..start); caller reverses.
+int64_t dg_backtrack(int64_t n, int32_t R, const int32_t* back_vtx,
+                     const int32_t* back_r, int32_t r, int32_t* out_path) {
+    const int32_t W = R + 1;
+    int64_t len = 0;
+    int64_t cur = n - 1;
+    int32_t cr = r;
+    while (cur != -1) {
+        out_path[len++] = (int32_t)cur;
+        int64_t idx = cur * W + cr;
+        int64_t nv = back_vtx[idx];
+        cr = back_r[idx];
+        cur = nv;
+    }
+    return len;
+}
+
+// ---------------------------------------------------------------------------
+// Diploid level-synchronous pair DP (src/approximator.cpp:362-716
+// semantics) in gather form with bitset scoring.
+//
+// Vertices must be numbered so that level l occupies [level_ptr[l],
+// level_ptr[l+1]) — which strict_bfs_levelize_and_reorder guarantees.
+// Tie-break matches the reference exactly: max value, then smallest
+// pred_i, then smallest pred_j (approximator.cpp:655-659).
+//
+// out_trans must hold 5*L int32; entry l (1..L-1) receives the winning
+// (pred_i, pred_j, pred_r, wu, wv) on the backtracked optimal path.
+// Returns the DP sink value; *out_shet receives the s_het bookkeeping.
+// ---------------------------------------------------------------------------
+int32_t dg_diploid_dp(int64_t nv, int64_t L, int32_t R,
+                      const int64_t* level_ptr,
+                      const int64_t* adj_ptr, const int32_t* adj_v,
+                      const int8_t* adj_w,
+                      const int64_t* hom_ptr, const int32_t* hom_colors,
+                      const int64_t* het_ptr, const int32_t* het_colors,
+                      int64_t* out_shet, int32_t* out_trans,
+                      int32_t n_threads, int32_t progress) {
+#ifdef _OPENMP
+    omp_set_num_threads(n_threads > 0 ? n_threads : 1);
+#endif
+    const int32_t NEG_INF = INT32_MIN / 4;
+    const int32_t W = R + 1;
+
+    // backpointer store: per level l (1..L-1), packed int32 per state:
+    // pi | pj<<12 | wu<<24 | wv<<25  (level widths < 4096)
+    std::vector<std::vector<int32_t>> bp(L);
+
+    int32_t k0 = (int32_t)(level_ptr[1] - level_ptr[0]);
+    std::vector<int32_t> val((size_t)W * k0 * k0, 0);
+    std::vector<int64_t> shet((size_t)W * k0 * k0, 0);
+
+    // scratch reused across levels
+    std::vector<uint64_t> lmask_h, lmask_t, rmask_h, rmask_t;
+    std::vector<int32_t> pred_ptr, pred_i, pred_w;
+
+    for (int64_t l = 0; l + 1 < L; l++) {
+        const int64_t b0 = level_ptr[l], b1 = level_ptr[l + 1], b2 = level_ptr[l + 2];
+        const int32_t k = (int32_t)(b1 - b0);
+        const int32_t k2 = (int32_t)(b2 - b1);
+
+        // ---- local colour re-indexing over levels l and l+1 ----
+        std::unordered_map<int32_t, int32_t> cmap;
+        auto map_colors = [&](int64_t vstart, int64_t vend) {
+            for (int64_t v = vstart; v < vend; v++) {
+                for (int64_t c = hom_ptr[v]; c < hom_ptr[v + 1]; c++)
+                    cmap.emplace(hom_colors[c], (int32_t)cmap.size());
+                for (int64_t c = het_ptr[v]; c < het_ptr[v + 1]; c++)
+                    cmap.emplace(het_colors[c], (int32_t)cmap.size());
+            }
+        };
+        map_colors(b0, b1);
+        map_colors(b1, b2);
+        const int32_t nwords = (int32_t)((cmap.size() + 63) / 64);
+
+        auto fill_masks = [&](int64_t vstart, int32_t cnt,
+                              std::vector<uint64_t>& mh, std::vector<uint64_t>& mt) {
+            mh.assign((size_t)cnt * nwords, 0);
+            mt.assign((size_t)cnt * nwords, 0);
+            for (int32_t i = 0; i < cnt; i++) {
+                int64_t v = vstart + i;
+                for (int64_t c = hom_ptr[v]; c < hom_ptr[v + 1]; c++) {
+                    int32_t lc = cmap[hom_colors[c]];
+                    mh[(size_t)i * nwords + lc / 64] |= 1ULL << (lc % 64);
+                }
+                for (int64_t c = het_ptr[v]; c < het_ptr[v + 1]; c++) {
+                    int32_t lc = cmap[het_colors[c]];
+                    mt[(size_t)i * nwords + lc / 64] |= 1ULL << (lc % 64);
+                }
+            }
+        };
+        fill_masks(b0, k, lmask_h, lmask_t);
+        fill_masks(b1, k2, rmask_h, rmask_t);
+
+        // ---- predecessor lists for level l+1 (reverse edges) ----
+        pred_ptr.assign(k2 + 1, 0);
+        for (int32_t i = 0; i < k; i++) {
+            int64_t v = b0 + i;
+            for (int64_t e = adj_ptr[v]; e < adj_ptr[v + 1]; e++)
+                pred_ptr[adj_v[e] - b1 + 1]++;
+        }
+        for (int32_t i = 0; i < k2; i++) pred_ptr[i + 1] += pred_ptr[i];
+        pred_i.assign(pred_ptr[k2], 0);
+        pred_w.assign(pred_ptr[k2], 0);
+        {
+            std::vector<int32_t> fill(pred_ptr.begin(), pred_ptr.end() - 1);
+            for (int32_t i = 0; i < k; i++) {
+                int64_t v = b0 + i;
+                for (int64_t e = adj_ptr[v]; e < adj_ptr[v + 1]; e++) {
+                    int32_t t = adj_v[e] - (int32_t)b1;
+                    pred_i[fill[t]] = i;
+                    pred_w[fill[t]] = adj_w[e];
+                    fill[t]++;
+                }
+            }
+        }
+
+        std::vector<int32_t> nval((size_t)W * k2 * k2, NEG_INF);
+        std::vector<int64_t> nshet((size_t)W * k2 * k2, 0);
+        bp[l + 1].assign((size_t)W * k2 * k2, -1);
+        int32_t* bpl = bp[l + 1].data();
+
+        struct Cand {
+            int32_t i, j, wu, wv, score, symd;
+        };
+
+#pragma omp parallel
+        {
+            std::vector<uint64_t> hr(nwords), tr(nwords);
+            std::vector<Cand> cands;
+#pragma omp for schedule(dynamic, 1)
+            for (int32_t i2 = 0; i2 < k2; i2++) {
+                const uint64_t* rh2 = &rmask_h[(size_t)i2 * nwords];
+                const uint64_t* rt2 = &rmask_t[(size_t)i2 * nwords];
+                for (int32_t j2 = 0; j2 < k2; j2++) {
+                    const uint64_t* rhj = &rmask_h[(size_t)j2 * nwords];
+                    const uint64_t* rtj = &rmask_t[(size_t)j2 * nwords];
+                    for (int32_t t = 0; t < nwords; t++) {
+                        hr[t] = rh2[t] | rhj[t];
+                        tr[t] = rt2[t] | rtj[t];
+                    }
+                    // hoist r-independent candidate scores
+                    cands.clear();
+                    for (int32_t pe = pred_ptr[i2]; pe < pred_ptr[i2 + 1]; pe++) {
+                        const int32_t i = pred_i[pe];
+                        const int32_t wu = pred_w[pe];
+                        const uint64_t* lh_i = &lmask_h[(size_t)i * nwords];
+                        const uint64_t* lt_i = &lmask_t[(size_t)i * nwords];
+                        for (int32_t qe = pred_ptr[j2]; qe < pred_ptr[j2 + 1];
+                             qe++) {
+                            const int32_t j = pred_i[qe];
+                            const int32_t wv = pred_w[qe];
+                            const uint64_t* lh_j = &lmask_h[(size_t)j * nwords];
+                            const uint64_t* lt_j = &lmask_t[(size_t)j * nwords];
+                            int32_t inter = 0, symd = 0;
+                            for (int32_t t = 0; t < nwords; t++) {
+                                inter += __builtin_popcountll(
+                                    (lh_i[t] | lh_j[t]) & hr[t]);
+                                symd += __builtin_popcountll(
+                                    (lt_i[t] | lt_j[t]) ^ tr[t]);
+                            }
+                            cands.push_back({i, j, wu, wv, inter + symd, symd});
+                        }
+                    }
+                    for (int32_t r2 = 0; r2 <= R; r2++) {
+                        int32_t best = NEG_INF, bi = INT32_MAX, bj = INT32_MAX;
+                        int32_t bw_u = 0, bw_v = 0, br = -1;
+                        int64_t bsh = 0;
+                        for (const Cand& c : cands) {
+                            const int32_t wsum = c.wu + c.wv;
+                            if (wsum > r2) continue;
+                            const int32_t r = r2 - wsum;
+                            const int32_t sv = val[((size_t)r * k + c.i) * k + c.j];
+                            if (sv == NEG_INF) continue;
+                            const int32_t cand = sv + c.score;
+                            if (cand > best ||
+                                (cand == best &&
+                                 (c.i < bi || (c.i == bi && c.j < bj)))) {
+                                best = cand;
+                                bi = c.i; bj = c.j; br = r;
+                                bw_u = c.wu; bw_v = c.wv;
+                                bsh = shet[((size_t)r * k + c.i) * k + c.j] + c.symd;
+                            }
+                        }
+                        const size_t di = ((size_t)r2 * k2 + i2) * k2 + j2;
+                        if (best != NEG_INF) {
+                            nval[di] = best;
+                            nshet[di] = bsh;
+                            bpl[di] = bi | (bj << 12) | (bw_u << 24) | (bw_v << 25);
+                            (void)br;
+                        }
+                    }
+                }
+            }
+        }
+        val.swap(nval);
+        shet.swap(nshet);
+        if (progress && (l % 10000 == 0)) {
+            fprintf(stderr, "\r[dg_diploid_dp] level %lld/%lld", (long long)l,
+                    (long long)L);
+            fflush(stderr);
+        }
+    }
+    if (progress) fprintf(stderr, "\r[dg_diploid_dp] done           \n");
+
+    // ---- backtrack from (r=R, 0, 0) at the last level ----
+    int32_t k_last = (int32_t)(level_ptr[L] - level_ptr[L - 1]);
+    (void)k_last;
+    int32_t sink_val = val[(size_t)R * 1 * 1];  // sink level has width 1
+    *out_shet = shet[(size_t)R];
+    int32_t i2 = 0, j2 = 0, r2 = R;
+    for (int64_t l = L - 1; l >= 1; l--) {
+        const int32_t kk2 = (int32_t)(level_ptr[l + 1] - level_ptr[l]);
+        const size_t di = ((size_t)r2 * kk2 + i2) * kk2 + j2;
+        int32_t packed = bp[l][di];
+        int32_t pi = packed & 0xFFF;
+        int32_t pj = (packed >> 12) & 0xFFF;
+        int32_t wu = (packed >> 24) & 1;
+        int32_t wv = (packed >> 25) & 1;
+        out_trans[5 * l + 0] = pi;
+        out_trans[5 * l + 1] = pj;
+        out_trans[5 * l + 2] = r2 - wu - wv;
+        out_trans[5 * l + 3] = wu;
+        out_trans[5 * l + 4] = wv;
+        i2 = pi; j2 = pj; r2 = r2 - wu - wv;
+    }
+    return sink_val;
+}
+
+// ---------------------------------------------------------------------------
+// std::sort permutation oracle.
+//
+// Two reference sorts run std::sort with comparators that can compare
+// equal (anchor occurrences with identical spans): solver.cpp:641-663 and
+// approximator.cpp:1200-1208. The relative order of such ties is decided
+// by libstdc++'s introsort and is observable in the output. Sorting a
+// permutation array with the same comparator reproduces the exact swap
+// sequence, giving byte-identical downstream behavior.
+// ---------------------------------------------------------------------------
+void dg_std_sort3(const int64_t* k1, const int64_t* k2, const int64_t* k3,
+                  int32_t* perm, int64_t n) {
+    std::sort(perm, perm + n, [&](int32_t a, int32_t b) {
+        if (k1[a] != k1[b]) return k1[a] < k1[b];
+        if (k2[a] != k2[b]) return k2[a] < k2[b];
+        return k3[a] < k3[b];
+    });
+}
+
+const char* dg_version() { return "dgcore 0.1"; }
+
+}  // extern "C"
