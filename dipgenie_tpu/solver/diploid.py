@@ -167,12 +167,11 @@ def _forward_exact(g: ExpandedGraph, R: int, Hm, Tm, progress: bool = False):
     return sink_val, sink_shet, transitions
 
 
-def _forward_native(g: ExpandedGraph, R: int, color_homo_bv, n_threads: int = 0,
-                    progress: bool = False):
-    """Native (dgcore) forward DP; same return contract as _forward_exact."""
+def csr_arrays(g: ExpandedGraph, color_homo_bv):
+    """Dense CSR arrays of the levelized graph for the native/device DPs:
+    (level_ptr, adj_ptr, adj_v, adj_w, hom_ptr, hom_colors, het_ptr,
+    het_colors)."""
     import numpy as np
-
-    from .. import native
 
     L = len(g.vertices_in_level)
     n = len(g.adj_list)
@@ -195,10 +194,8 @@ def _forward_native(g: ExpandedGraph, R: int, color_homo_bv, n_threads: int = 0,
     hom_lists = []
     het_lists = []
     for colors in g.color:
-        hm = [c for c in colors if color_homo_bv[c]]
-        tm = [c for c in colors if not color_homo_bv[c]]
-        hom_lists.append(hm)
-        het_lists.append(tm)
+        hom_lists.append([c for c in colors if color_homo_bv[c]])
+        het_lists.append([c for c in colors if not color_homo_bv[c]])
     hom_ptr = np.zeros(n + 1, np.int64)
     het_ptr = np.zeros(n + 1, np.int64)
     for u in range(n):
@@ -210,6 +207,18 @@ def _forward_native(g: ExpandedGraph, R: int, color_homo_bv, n_threads: int = 0,
     het_colors = np.fromiter(
         (c for lst in het_lists for c in lst), np.int32, int(het_ptr[-1])
     )
+    return (level_ptr, adj_ptr, adj_v, adj_w, hom_ptr, hom_colors,
+            het_ptr, het_colors)
+
+
+def _forward_native(g: ExpandedGraph, R: int, color_homo_bv, n_threads: int = 0,
+                    progress: bool = False):
+    """Native (dgcore) forward DP; same return contract as _forward_exact."""
+    from .. import native
+
+    (level_ptr, adj_ptr, adj_v, adj_w, hom_ptr, hom_colors,
+     het_ptr, het_colors) = csr_arrays(g, color_homo_bv)
+    L = len(g.vertices_in_level)
     sink_val, sink_shet, trans = native.diploid_dp(
         level_ptr, adj_ptr, adj_v, adj_w, hom_ptr, hom_colors,
         het_ptr, het_colors, R, n_threads, progress,
@@ -248,6 +257,11 @@ def diploid_dp_solver(
         sink_val, sink_shet, transitions = _forward_native(
             g, R, color_homo_bv, n_threads=n_threads, progress=progress
         )
+    elif backend == "jax":
+        from ..ops.diploid_jax import DiploidDeviceDP, plan_transitions
+
+        plan = plan_transitions(*csr_arrays(g, color_homo_bv))
+        sink_val, sink_shet, transitions = DiploidDeviceDP(plan, R).run()
     else:
         Hm, Tm = build_color_masks(g, color_homo_bv)
         sink_val, sink_shet, transitions = _forward_exact(
