@@ -9,28 +9,29 @@ recast for XLA/TPU:
     padded to P slots) and per-vertex HOM/HET colour bitsets re-indexed
     to the level-pair's local colour universe (W uint32 words) — scoring
     is popcount((h1|h2)&(h3|h4)) + popcount((t1|t2)^(t3|t4)), exactly the
-    reference's 4-way merge counts;
-  * transitions whose (width, in-degree, colour words) fit the uniform
-    small bucket (the vast majority) run inside `lax.scan` chunks of
-    fixed length — variable-length runs are padded with *no-op identity
-    transitions* (pred=self, weight 0, no colours) so only a handful of
-    shapes ever compile;
-  * oversized transitions dispatch to per-shape jitted "big" steps;
-  * backpointers (pred_i | pred_j<<12 | wu<<24 | wv<<25, the same packing
-    as the native runtime) are emitted per chunk and streamed to host;
-    backtracking then matches dgcore/diploid.py bit for bit;
+    reference's 4-way merge counts (approximator.cpp:269-311);
   * the deterministic tie-break (value, then smaller pred_i, then smaller
-    pred_j — approximator.cpp:655-659) is encoded in the masked reduction.
+    pred_j — approximator.cpp:655-659) is encoded in the masked reduction,
+    so results match the exact/native tiers bit for bit;
+  * transitions that fit the uniform small bucket (the vast majority) run
+    inside `lax.scan` chunks of a few fixed lengths over a device-resident
+    pre-stacked transition array; variable-length runs are padded with
+    no-op identity transitions so only a handful of shapes compile.
+    Oversized transitions dispatch to per-shape jitted "big" steps over
+    per-shape device stacks.
 
-`plan_transitions` does the host-side preprocessing from the levelized
-expanded graph's CSR arrays.
+Orchestration is latency-tolerant by construction: all inputs are shipped
+to HBM once, every step is an *async* dispatch, the forward pass stores
+periodic state checkpoints on device, and backtracking replays each span
+(recompute) and walks the backpointers with a reverse `lax.scan` — also
+on device. Exactly one host synchronisation fetches (value, s_het, path).
+This matters both for remote-attached TPUs (1-2 s round-trip links) and
+for keeping the device pipeline full on local hosts.
 """
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -40,7 +41,7 @@ VALID_T = -(2**27)  # values above this are reachable states
 SMALL_B = 32
 SMALL_P = 4
 SMALL_W = 1
-CHUNKS = (64, 512, 4096)  # allowed scan lengths (padded with no-ops)
+CHUNKS = (64, 512)
 
 
 @dataclass
@@ -54,9 +55,6 @@ class Transition:
     Tl: np.ndarray
     Hr: np.ndarray  # [k2, W] uint32
     Tr: np.ndarray
-    B: int = 0
-    P: int = 0
-    W: int = 0
 
 
 def _bucket(x: int, opts) -> int:
@@ -82,27 +80,29 @@ def plan_transitions(
     for l in range(L - 1):
         b0, b1, b2 = int(level_ptr[l]), int(level_ptr[l + 1]), int(level_ptr[l + 2])
         k, k2 = b1 - b0, b2 - b1
-        # predecessor lists
         e0, e1 = int(adj_ptr[b0]), int(adj_ptr[b1])
         dsts = adj_v[e0:e1] - b1
         ws = adj_w[e0:e1].astype(np.int32)
         srcs = np.repeat(
-            np.arange(k, dtype=np.int32), np.diff(adj_ptr[b0 : b1 + 1]).astype(np.int64)
+            np.arange(k, dtype=np.int32),
+            np.diff(adj_ptr[b0 : b1 + 1]).astype(np.int64),
         )
         order = np.argsort(dsts, kind="stable")
         dsts_s, srcs_s, ws_s = dsts[order], srcs[order], ws[order]
-        indeg = np.bincount(dsts_s, minlength=k2)
-        P = int(indeg.max()) if len(indeg) else 1
-        P = max(P, 1)
+        indeg = np.bincount(dsts_s, minlength=k2) if k2 else np.zeros(0, np.int64)
+        P = max(int(indeg.max()) if len(indeg) else 1, 1)
         pred_i = np.zeros((k2, P), np.int32)
         pred_w = np.zeros((k2, P), np.int32)
         pred_m = np.zeros((k2, P), bool)
-        slot = np.concatenate([np.arange(c) for c in indeg]) if len(dsts_s) else np.empty(0, np.int64)
+        slot = (
+            np.concatenate([np.arange(c) for c in indeg])
+            if len(dsts_s)
+            else np.empty(0, np.int64)
+        )
         pred_i[dsts_s, slot] = srcs_s
         pred_w[dsts_s, slot] = ws_s
         pred_m[dsts_s, slot] = True
 
-        # local colour re-index over both levels
         cs = np.concatenate(
             [
                 hom_colors[hom_ptr[b0] : hom_ptr[b2]],
@@ -111,15 +111,6 @@ def plan_transitions(
         )
         uniq = np.unique(cs)
         W = max(1, (len(uniq) + 31) // 32)
-
-        def masks(vs, ve, ptr, colors):
-            cnt = ve - vs
-            m = np.zeros((cnt, W), np.uint32)
-            for i in range(cnt):
-                v = vs + i
-                loc = np.searchsorted(uniq, colors[ptr[v] : ptr[v + 1]])
-                m[i, loc // 32] |= (np.uint32(1) << (loc % 32).astype(np.uint32))
-            return m
 
         def masks_fast(vs, ve, ptr, colors):
             cnt = ve - vs
@@ -136,33 +127,39 @@ def plan_transitions(
                 )
             return m
 
-        Hl = masks_fast(b0, b1, hom_ptr, hom_colors)
-        Tl = masks_fast(b0, b1, het_ptr, het_colors)
-        Hr = masks_fast(b1, b2, hom_ptr, hom_colors)
-        Tr = masks_fast(b1, b2, het_ptr, het_colors)
-        out.append(Transition(k, k2, pred_i, pred_w, pred_m, Hl, Tl, Hr, Tr))
+        out.append(
+            Transition(
+                k, k2, pred_i, pred_w, pred_m,
+                masks_fast(b0, b1, hom_ptr, hom_colors),
+                masks_fast(b0, b1, het_ptr, het_colors),
+                masks_fast(b1, b2, hom_ptr, hom_colors),
+                masks_fast(b1, b2, het_ptr, het_colors),
+            )
+        )
     return out
 
 
-def _pad_transition(t: Transition, B: int, P: int, W: int):
-    """Pad one transition's arrays to (B, P, W)."""
-    pi = np.zeros((B, P), np.int32)
+def _pad_fields(t: Transition, B: int, P: int, W: int):
+    pi = np.tile(np.arange(B, dtype=np.int32)[:, None], (1, P))
     pw = np.zeros((B, P), np.int32)
     pm = np.zeros((B, P), bool)
     pi[: t.k2, : t.pred_i.shape[1]] = t.pred_i
     pw[: t.k2, : t.pred_w.shape[1]] = t.pred_w
     pm[: t.k2, : t.pred_m.shape[1]] = t.pred_m
+    # rows >= k2 keep identity pred with mask False (stay NEG_INF)
 
     def padm(m, rows):
         o = np.zeros((B, W), np.uint32)
-        o[: rows, : m.shape[1]] = m
+        o[:rows, : m.shape[1]] = m
         return o
 
-    return pi, pw, pm, padm(t.Hl, t.k), padm(t.Tl, t.k), padm(t.Hr, t.k2), padm(t.Tr, t.k2)
+    return (
+        pi, pw, pm,
+        padm(t.Hl, t.k), padm(t.Tl, t.k), padm(t.Hr, t.k2), padm(t.Tr, t.k2),
+    )
 
 
-def _noop_transition(B: int, P: int, W: int):
-    """Identity transition: state passes through unchanged."""
+def _noop_fields(B: int, P: int, W: int):
     pi = np.tile(np.arange(B, dtype=np.int32)[:, None], (1, P))
     pw = np.zeros((B, P), np.int32)
     pm = np.zeros((B, P), bool)
@@ -172,18 +169,16 @@ def _noop_transition(B: int, P: int, W: int):
 
 
 def _step_body(R: int, P: int, carry, xs):
-    """One DP transition. carry = (V, SH); xs = transition arrays.
-
-    Returns ((V', SH'), packed backpointers [R+1,B,B])."""
+    """One DP transition. carry = (V, SH) → ((V', SH'), packed bp)."""
     import jax
     import jax.numpy as jnp
 
     V, SH = carry
     pi, pw, pm, Hl, Tl, Hr, Tr = xs
     B = V.shape[1]
-    SENT = np.int32(2**20)  # pred sentinel > any index (INT_MAX in reference)
+    SENT = np.int32(2**20)
 
-    HRu = Hr[:, None, :] | Hr[None, :, :]  # [B,B,W]
+    HRu = Hr[:, None, :] | Hr[None, :, :]
     TRu = Tr[:, None, :] | Tr[None, :, :]
 
     best_v = jnp.full((R + 1, B, B), NEG_INF, jnp.int32)
@@ -192,7 +187,6 @@ def _step_body(R: int, P: int, carry, xs):
     best_sh = jnp.zeros((R + 1, B, B), jnp.int32)
     best_bp = jnp.zeros((R + 1, B, B), jnp.int32)
 
-    # r-shifted source values: Vsh[w][r2] = V[r2-w] (NEG_INF below)
     def shift(x, w, fill):
         if w == 0:
             return x
@@ -202,214 +196,370 @@ def _step_body(R: int, P: int, carry, xs):
     Vsh = [shift(V, w, NEG_INF) for w in range(3)]
     SHsh = [shift(SH, w, 0) for w in range(3)]
 
-    for p in range(P):
-        i_of = pi[:, p]  # [B] source index per dst i2
-        wu = pw[:, p]
-        mu = pm[:, p]
-        Hli = Hl[i_of]  # [B,W]
+    def apply_candidate(best, i_of, wu, mu, j_of, wv, mv):
+        best_v, best_i, best_j, best_sh, best_bp = best
+        m = mu[:, None] & mv[None, :]
+        Hli = Hl[i_of]
         Tli = Tl[i_of]
-        for q in range(P):
-            j_of = pi[:, q]
-            wv = pw[:, q]
-            mv = pm[:, q]
-            m = mu[:, None] & mv[None, :]  # [B,B] over (i2,j2)
+        HLu = Hli[:, None, :] | Hl[j_of][None, :, :]
+        TLu = Tli[:, None, :] | Tl[j_of][None, :, :]
+        symd = jax.lax.population_count(TLu ^ TRu).sum(-1).astype(jnp.int32)
+        score = (
+            jax.lax.population_count(HLu & HRu).sum(-1).astype(jnp.int32) + symd
+        )
 
-            HLu = Hli[:, None, :] | Hl[j_of][None, :, :]  # [B,B,W]
-            TLu = Tli[:, None, :] | Tl[j_of][None, :, :]
-            symd = jax.lax.population_count(TLu ^ TRu).sum(-1).astype(jnp.int32)
-            score = (
-                jax.lax.population_count(HLu & HRu).sum(-1).astype(jnp.int32) + symd
+        w = (wu[:, None] + wv[None, :])[None]
+
+        def gsel(stack):
+            g0 = stack[0][:, i_of, :][:, :, j_of]
+            g1 = stack[1][:, i_of, :][:, :, j_of]
+            g2 = stack[2][:, i_of, :][:, :, j_of]
+            return jnp.where(w == 0, g0, jnp.where(w == 1, g1, g2))
+
+        Vg = gsel(Vsh)
+        SHg = gsel(SHsh)
+        cand = Vg + score[None]
+        ci = jnp.broadcast_to(i_of[:, None], (B, B))[None]
+        cj = jnp.broadcast_to(j_of[None, :], (B, B))[None]
+        valid = m[None] & (Vg > VALID_T)
+        better = valid & (
+            (cand > best_v)
+            | (
+                (cand == best_v)
+                & ((ci < best_i) | ((ci == best_i) & (cj < best_j)))
             )
+        )
+        bp = ci | (cj << 12) | (wu[:, None][None] << 24) | (wv[None, :][None] << 25)
+        return (
+            jnp.where(better, cand, best_v),
+            jnp.where(better, ci, best_i),
+            jnp.where(better, cj, best_j),
+            jnp.where(better, SHg + symd, best_sh),
+            jnp.where(better, jnp.broadcast_to(bp, best_bp.shape), best_bp),
+        )
 
-            w = (wu[:, None] + wv[None, :])[None]  # [1,B,B] in {0,1,2}
-
-            def gsel(stack):
-                g0 = stack[0][:, i_of, :][:, :, j_of]
-                g1 = stack[1][:, i_of, :][:, :, j_of]
-                g2 = stack[2][:, i_of, :][:, :, j_of]
-                return jnp.where(w == 0, g0, jnp.where(w == 1, g1, g2))
-
-            Vg = gsel(Vsh)  # [R+1,B,B]
-            SHg = gsel(SHsh)
-            cand = Vg + score[None]
-            ci = jnp.broadcast_to(i_of[:, None], (B, B))[None]  # [1,B,B]
-            cj = jnp.broadcast_to(j_of[None, :], (B, B))[None]
-            valid = m[None] & (Vg > VALID_T)
-            better = valid & (
-                (cand > best_v)
-                | (
-                    (cand == best_v)
-                    & ((ci < best_i) | ((ci == best_i) & (cj < best_j)))
+    best = (best_v, best_i, best_j, best_sh, best_bp)
+    if P <= 4:
+        # unrolled candidate pairs (compact jaxpr, fully fused)
+        for p in range(P):
+            for q in range(P):
+                best = apply_candidate(
+                    best, pi[:, p], pw[:, p], pm[:, p],
+                    pi[:, q], pw[:, q], pm[:, q],
                 )
-            )
-            bp = ci | (cj << 12) | (wu[:, None][None] << 24) | (wv[None, :][None] << 25)
-            best_v = jnp.where(better, cand, best_v)
-            best_i = jnp.where(better, ci, best_i)
-            best_j = jnp.where(better, cj, best_j)
-            best_sh = jnp.where(better, SHg + symd, best_sh)
-            best_bp = jnp.where(better, jnp.broadcast_to(bp, best_bp.shape), best_bp)
+    else:
+        # large in-degree buckets: traced loop keeps the program small
+        def body(pq, best):
+            p = pq // P
+            q = pq % P
+            i_of = jax.lax.dynamic_index_in_dim(pi, p, axis=1, keepdims=False)
+            wu = jax.lax.dynamic_index_in_dim(pw, p, axis=1, keepdims=False)
+            mu = jax.lax.dynamic_index_in_dim(pm, p, axis=1, keepdims=False)
+            j_of = jax.lax.dynamic_index_in_dim(pi, q, axis=1, keepdims=False)
+            wv = jax.lax.dynamic_index_in_dim(pw, q, axis=1, keepdims=False)
+            mv = jax.lax.dynamic_index_in_dim(pm, q, axis=1, keepdims=False)
+            return apply_candidate(best, i_of, wu, mu, j_of, wv, mv)
+
+        best = jax.lax.fori_loop(0, P * P, body, best)
+    best_v, best_i, best_j, best_sh, best_bp = best
     return (best_v, best_sh), best_bp
 
 
 @dataclass
-class _Segment:
+class _Op:
     kind: str  # "scan" | "big"
-    data: object
-    length: int  # real transitions covered (before no-op padding)
-    shape: tuple
+    T: int  # chunk length (scans) or 1
+    start: int  # row offset into the corresponding stack
+    shape: tuple  # (B, P, W)
+    rows: list  # global transition index per row (-1 = no-op pad)
 
 
-class DiploidDeviceDP:
-    """Run the diploid DP forward pass on device, streaming backpointers.
-
-    Produces results identical to the native/exact tiers (validated in
-    tests): sink value, sink s_het, and per-level winning transitions.
-    """
+class DeviceDiploidDP:
+    """Latency-tolerant device DP runner; single host sync at the end."""
 
     def __init__(self, transitions: list[Transition], R: int,
                  small=(SMALL_B, SMALL_P, SMALL_W), chunks=CHUNKS,
-                 b_buckets=(8, 16, 32, 64, 256), p_buckets=(2, 4, 8, 32),
-                 w_buckets=(1, 2, 4, 8, 32)):
+                 ckpt_every: int = 24,
+                 b_buckets=(64, 160, 512), p_buckets=(8, 32),
+                 w_buckets=(2, 8, 32)):
         self.R = R
         self.small = small
         self.chunks = sorted(chunks)
+        self.ckpt_every = ckpt_every
         self.transitions = transitions
         self.b_buckets = b_buckets
         self.p_buckets = p_buckets
         self.w_buckets = w_buckets
-        self._jit_cache: dict = {}
+        self._jit = {}
+        self._build_program()
+        self._device_stacks = None
 
+    # ---------------- program construction (host) ----------------
     def _is_small(self, t: Transition) -> bool:
         B, P, W = self.small
         return (
-            max(t.k, t.k2) <= B
-            and t.pred_i.shape[1] <= P
-            and t.Hl.shape[1] <= W
+            max(t.k, t.k2) <= B and t.pred_i.shape[1] <= P and t.Hl.shape[1] <= W
         )
 
-    def _scan_fn(self, T: int):
-        import jax
+    def _big_shape(self, t: Transition) -> tuple:
+        return (
+            _bucket(max(t.k, t.k2), self.b_buckets),
+            _bucket(t.pred_i.shape[1], self.p_buckets),
+            _bucket(t.Hl.shape[1], self.w_buckets),
+        )
 
-        key = ("scan", T)
-        if key not in self._jit_cache:
-            R, P = self.R, self.small[1]
-
-            def run(carry, stacked):
-                def f(c, xs):
-                    return _step_body(R, P, c, xs)
-
-                (V, SH), bps = jax.lax.scan(f, carry, stacked)
-                return (V, SH), bps
-
-            self._jit_cache[key] = jax.jit(run)
-        return self._jit_cache[key]
-
-    def _big_fn(self, shape):
-        import jax
-
-        key = ("big", shape)
-        if key not in self._jit_cache:
-            R = self.R
-            _B, P, _W = shape
-
-            def run(carry, xs):
-                return _step_body(R, P, carry, xs)
-
-            self._jit_cache[key] = jax.jit(run)
-        return self._jit_cache[key]
-
-    def _resize(self, V, SH, B_new: int):
-        import jax.numpy as jnp
-
-        B_old = V.shape[1]
-        if B_old == B_new:
-            return V, SH
-        R = self.R
-        if B_new > B_old:
-            Vn = jnp.full((R + 1, B_new, B_new), NEG_INF, jnp.int32)
-            Vn = Vn.at[:, :B_old, :B_old].set(V)
-            Sn = jnp.zeros((R + 1, B_new, B_new), jnp.int32)
-            Sn = Sn.at[:, :B_old, :B_old].set(SH)
-            return Vn, Sn
-        return V[:, :B_new, :B_new], SH[:, :B_new, :B_new]
-
-    def run(self):
-        """Forward pass; returns (sink_val, sink_shet, transitions) in the
-        same format as solver.diploid._forward_exact."""
-        import jax.numpy as jnp
-
-        R = self.R
+    def _build_program(self):
         ts = self.transitions
-        L1 = len(ts)  # number of transitions (levels - 1)
         SB, SP, SW = self.small
-
-        # initial state (level 0: single source, all r live at value 0)
-        k0 = ts[0].k if ts else 1
-        B0 = SB if (ts and self._is_small(ts[0])) else self._bucket_B(ts[0]) if ts else SB
-        V = jnp.full((R + 1, B0, B0), NEG_INF, jnp.int32)
-        V = V.at[:, 0, 0].set(0)  # width-1 source level
-        SH = jnp.zeros((R + 1, B0, B0), jnp.int32)
-        del k0
-
-        bp_store: list[tuple[int, np.ndarray]] = []  # (k2, packed [R+1,k2,k2])
-
+        ops: list[_Op] = []
+        small_rows: list[int] = []  # global transition id per stacked row
+        big_rows: dict[tuple, list[int]] = {}
         i = 0
-        noop = _noop_transition(SB, SP, SW)
+        L1 = len(ts)
         while i < L1:
             if self._is_small(ts[i]):
                 j = i
                 while j < L1 and self._is_small(ts[j]):
                     j += 1
-                run_len = j - i
                 pos = i
                 while pos < j:
-                    take = min(run_len - (pos - i), self.chunks[-1])
+                    take = min(j - pos, self.chunks[-1])
                     T = next(c for c in self.chunks if c >= take)
-                    batch = [
-                        _pad_transition(ts[pos + t], SB, SP, SW)
-                        for t in range(take)
-                    ] + [noop] * (T - take)
-                    stacked = tuple(
-                        jnp.asarray(np.stack([b[f] for b in batch]))
-                        for f in range(7)
+                    rows = list(range(pos, pos + take)) + [-1] * (T - take)
+                    ops.append(
+                        _Op("scan", T, len(small_rows), (SB, SP, SW), rows)
                     )
-                    V, SH = self._resize(V, SH, SB)
-                    (V, SH), bps = self._scan_fn(T)((V, SH), stacked)
-                    bps_h = np.asarray(bps[:take])
-                    for t in range(take):
-                        k2 = ts[pos + t].k2
-                        bp_store.append((k2, bps_h[t][:, :k2, :k2]))
+                    small_rows.extend(rows)
                     pos += take
                 i = j
             else:
-                t = ts[i]
-                B = self._bucket_B(t)
-                P = _bucket(t.pred_i.shape[1], self.p_buckets)
-                W = _bucket(t.Hl.shape[1], self.w_buckets)
-                arrs = _pad_transition(t, B, P, W)
-                V, SH = self._resize(V, SH, B)
-                xs = tuple(jnp.asarray(a) for a in arrs)
-                (V, SH), bps = self._big_fn((B, P, W))((V, SH), xs)
-                bp_store.append((t.k2, np.asarray(bps[:, : t.k2, : t.k2])))
+                shape = self._big_shape(ts[i])
+                lst = big_rows.setdefault(shape, [])
+                ops.append(_Op("big", 1, len(lst), shape, [i]))
+                lst.append(i)
                 i += 1
+        self.ops = ops
+        self._small_rows = small_rows
+        self._big_rows = big_rows
 
+    def _build_stacks_np(self):
+        SB, SP, SW = self.small
+        noop = _noop_fields(SB, SP, SW)
+        ts = self.transitions
+
+        def stack_for(rows, B, P, W, noop_fields):
+            fields = [[] for _ in range(7)]
+            for r in rows:
+                fs = noop_fields if r < 0 else _pad_fields(ts[r], B, P, W)
+                for fi in range(7):
+                    fields[fi].append(fs[fi])
+            return tuple(np.stack(f) for f in fields)
+
+        small_stack = stack_for(self._small_rows, SB, SP, SW, noop)
+        big_stacks = {
+            shape: stack_for(rows, *shape, _noop_fields(*shape))
+            for shape, rows in self._big_rows.items()
+        }
+        return small_stack, big_stacks
+
+    def _ship(self):
+        import jax
+
+        if self._device_stacks is not None:
+            return self._device_stacks
+        small_np, big_np = self._build_stacks_np()
+        small = tuple(jax.device_put(a) for a in small_np)
+        big = {
+            s: tuple(jax.device_put(a) for a in arrs) for s, arrs in big_np.items()
+        }
+        self._device_stacks = (small, big)
+        return self._device_stacks
+
+    # ---------------- jitted building blocks ----------------
+    def _scan_fn(self, T: int, with_bp: bool):
+        import jax
+        import jax.numpy as jnp
+
+        key = ("scan", T, with_bp)
+        if key not in self._jit:
+            R, P = self.R, self.small[1]
+
+            def run(stack, V, SH, start):
+                xs = tuple(
+                    jax.lax.dynamic_slice_in_dim(s, start, T, axis=0)
+                    for s in stack
+                )
+
+                def f(c, x):
+                    (v, sh), bp = _step_body(R, P, c, x)
+                    return (v, sh), (bp if with_bp else jnp.int32(0))
+
+                (V2, SH2), ys = jax.lax.scan(f, (V, SH), xs)
+                return V2, SH2, ys
+
+            self._jit[key] = jax.jit(run, static_argnames=())
+        return self._jit[key]
+
+    def _big_fn(self, shape):
+        import jax
+
+        key = ("big", shape)
+        if key not in self._jit:
+            R = self.R
+            _B, P, _W = shape
+
+            def run(stack, V, SH, idx):
+                xs = tuple(
+                    jax.lax.dynamic_slice_in_dim(s, idx, 1, axis=0)[0]
+                    for s in stack
+                )
+                (V2, SH2), bp = _step_body(R, P, (V, SH), xs)
+                return V2, SH2, bp
+
+            self._jit[key] = jax.jit(run)
+        return self._jit[key]
+
+    def _resize_fn(self, b_from: int, b_to: int):
+        import jax
+        import jax.numpy as jnp
+
+        key = ("resize", b_from, b_to)
+        if key not in self._jit:
+            R = self.R
+
+            def run(V, SH):
+                if b_to > b_from:
+                    Vn = jnp.full((R + 1, b_to, b_to), NEG_INF, jnp.int32)
+                    Vn = Vn.at[:, :b_from, :b_from].set(V)
+                    Sn = jnp.zeros((R + 1, b_to, b_to), jnp.int32)
+                    Sn = Sn.at[:, :b_from, :b_from].set(SH)
+                    return Vn, Sn
+                return V[:, :b_to, :b_to], SH[:, :b_to, :b_to]
+
+            self._jit[key] = jax.jit(run)
+        return self._jit[key]
+
+    def _trace_fn(self, T: int):
+        """Reverse walk through a chunk's backpointers, on device."""
+        import jax
+        import jax.numpy as jnp
+
+        key = ("trace", T)
+        if key not in self._jit:
+
+            def run(ys, carry):  # ys [T, R+1, B, B]; carry [3] = (i2, j2, r2)
+                def f(c, bp):
+                    i2, j2, r2 = c[0], c[1], c[2]
+                    packed = bp[r2, i2, j2]
+                    pi = packed & 0xFFF
+                    pj = (packed >> 12) & 0xFFF
+                    wu = (packed >> 24) & 1
+                    wv = (packed >> 25) & 1
+                    row = jnp.stack([pi, pj, wu, wv])
+                    return jnp.stack([pi, pj, r2 - wu - wv]), row
+
+                carry2, rows = jax.lax.scan(f, carry, ys, reverse=True)
+                return carry2, rows  # rows [T, 4] aligned with ys order
+
+            self._jit[key] = jax.jit(run)
+        return self._jit[key]
+
+    # ---------------- driver ----------------
+    def run(self):
+        import jax
+        import jax.numpy as jnp
+
+        R = self.R
+        small, big = self._ship()
+        SB = self.small[0]
+        ops = self.ops
+
+        def op_B(op):
+            return op.shape[0]
+
+        # forward with checkpoints
+        B_cur = op_B(ops[0]) if ops else SB
+        V = jnp.full((R + 1, B_cur, B_cur), NEG_INF, jnp.int32)
+        V = V.at[:, 0, 0].set(0)
+        SH = jnp.zeros((R + 1, B_cur, B_cur), jnp.int32)
+
+        ckpts: dict[int, tuple] = {0: (V, SH, B_cur)}
+        for oi, op in enumerate(ops):
+            nb = op_B(op)
+            if nb != B_cur:
+                V, SH = self._resize_fn(B_cur, nb)(V, SH)
+                B_cur = nb
+            if op.kind == "scan":
+                V, SH, _ = self._scan_fn(op.T, False)(
+                    small, V, SH, np.int32(op.start)
+                )
+            else:
+                V, SH, _ = self._big_fn(op.shape)(
+                    big[op.shape], V, SH, np.int32(op.start)
+                )
+            if (oi + 1) % self.ckpt_every == 0 and oi + 1 < len(ops):
+                ckpts[oi + 1] = (V, SH, B_cur)
+
+        n_rows = sum(op.T for op in ops)
+        path_buf = jnp.zeros((max(n_rows, 1), 4), jnp.int32)
+        carry = jnp.array([0, 0, R], jnp.int32)
+
+        # backward: replay spans (recompute with bp), trace on device
+        row_offsets = []
+        acc = 0
+        for op in ops:
+            row_offsets.append(acc)
+            acc += op.T
+        span_starts = sorted(ckpts.keys(), reverse=True)
+        span_end = len(ops)
+        for s in span_starts:
+            Vc, SHc, Bc = ckpts[s]
+            seg = []
+            B_run = Bc
+            Vr, SHr = Vc, SHc
+            for oi in range(s, span_end):
+                op = ops[oi]
+                nb = op_B(op)
+                if nb != B_run:
+                    Vr, SHr = self._resize_fn(B_run, nb)(Vr, SHr)
+                    B_run = nb
+                if op.kind == "scan":
+                    Vr, SHr, ys = self._scan_fn(op.T, True)(
+                        small, Vr, SHr, np.int32(op.start)
+                    )
+                else:
+                    Vr, SHr, ys = self._big_fn(op.shape)(
+                        big[op.shape], Vr, SHr, np.int32(op.start)
+                    )
+                    ys = ys[None]
+                seg.append((oi, ys))
+            for oi, ys in reversed(seg):
+                op = ops[oi]
+                carry, rows = self._trace_fn(op.T)(ys, carry)
+                path_buf = jax.lax.dynamic_update_slice(
+                    path_buf, rows, (np.int32(row_offsets[oi]), np.int32(0))
+                )
+            span_end = s
+
+        # single synchronisation
         sink_val = int(V[R, 0, 0])
         sink_shet = int(SH[R, 0, 0])
+        path = np.asarray(path_buf)
 
-        # backtrack (same contract as solver.diploid._forward_exact)
+        # assemble transitions (same contract as solver.diploid tiers)
+        per_level = {}
+        acc = 0
+        for op in ops:
+            for t, gid in enumerate(op.rows):
+                if gid >= 0:
+                    per_level[gid + 1] = path[acc + t]
+            acc += op.T
+        L1 = len(self.transitions)
         transitions = []
-        i2, j2, r2 = 0, 0, R
+        i2, j2 = 0, 0
         for l in range(L1, 0, -1):
-            _k2, bp = bp_store[l - 1]
-            packed = int(bp[r2, i2, j2])
-            pi = packed & 0xFFF
-            pj = (packed >> 12) & 0xFFF
-            wu = (packed >> 24) & 1
-            wv = (packed >> 25) & 1
+            pi, pj, wu, wv = (int(x) for x in per_level[l])
             transitions.append((l, pi, pj, i2, j2, wu, wv))
-            i2, j2, r2 = pi, pj, r2 - wu - wv
+            i2, j2 = pi, pj
         transitions.reverse()
         return sink_val, sink_shet, transitions
-
-    def _bucket_B(self, t: Transition) -> int:
-        return _bucket(max(t.k, t.k2), self.b_buckets)

@@ -258,10 +258,10 @@ def diploid_dp_solver(
             g, R, color_homo_bv, n_threads=n_threads, progress=progress
         )
     elif backend == "jax":
-        from ..ops.diploid_jax import DiploidDeviceDP, plan_transitions
+        from ..ops.diploid_jax import DeviceDiploidDP, plan_transitions
 
         plan = plan_transitions(*csr_arrays(g, color_homo_bv))
-        sink_val, sink_shet, transitions = DiploidDeviceDP(plan, R).run()
+        sink_val, sink_shet, transitions = DeviceDiploidDP(plan, R).run()
     else:
         Hm, Tm = build_color_masks(g, color_homo_bv)
         sink_val, sink_shet, transitions = _forward_exact(
