@@ -38,9 +38,9 @@ import numpy as np
 NEG_INF = -(2**28)
 VALID_T = -(2**27)  # values above this are reachable states
 
-SMALL_B = 32
-SMALL_P = 4
-SMALL_W = 1
+SMALL_B = 64
+SMALL_P = 8
+SMALL_W = 2
 CHUNKS = (64, 512)
 
 
@@ -281,7 +281,7 @@ class DeviceDiploidDP:
                  small=(SMALL_B, SMALL_P, SMALL_W), chunks=CHUNKS,
                  ckpt_every: int = 24,
                  b_buckets=(64, 160, 512), p_buckets=(8, 32),
-                 w_buckets=(2, 8, 32)):
+                 w_buckets=(8, 32)):
         self.R = R
         self.small = small
         self.chunks = sorted(chunks)
@@ -465,9 +465,19 @@ class DeviceDiploidDP:
         return self._jit[key]
 
     # ---------------- driver ----------------
-    def run(self):
+    def run(self, verbose: bool = False):
+        import sys
+        import time as _time
+
         import jax
         import jax.numpy as jnp
+
+        def vlog(msg):
+            if verbose:
+                print(f"[devdp {_time.time()-_t0:7.1f}s] {msg}",
+                      file=sys.stderr, flush=True)
+
+        _t0 = _time.time()
 
         R = self.R
         small, big = self._ship()
@@ -499,6 +509,8 @@ class DeviceDiploidDP:
                 )
             if (oi + 1) % self.ckpt_every == 0 and oi + 1 < len(ops):
                 ckpts[oi + 1] = (V, SH, B_cur)
+            if verbose and (oi + 1) % 1000 == 0:
+                vlog(f"forward op {oi+1}/{len(ops)}")
 
         n_rows = sum(op.T for op in ops)
         path_buf = jnp.zeros((max(n_rows, 1), 4), jnp.int32)
@@ -510,9 +522,12 @@ class DeviceDiploidDP:
         for op in ops:
             row_offsets.append(acc)
             acc += op.T
+        vlog(f"forward enqueued ({len(ops)} ops); starting backward")
         span_starts = sorted(ckpts.keys(), reverse=True)
         span_end = len(ops)
-        for s in span_starts:
+        for si, s in enumerate(span_starts):
+            if verbose and si % 20 == 0:
+                vlog(f"backward span {si}/{len(span_starts)}")
             Vc, SHc, Bc = ckpts[s]
             seg = []
             B_run = Bc
@@ -542,6 +557,7 @@ class DeviceDiploidDP:
             span_end = s
 
         # single synchronisation
+        vlog("all ops enqueued; synchronising")
         sink_val = int(V[R, 0, 0])
         sink_shet = int(SH[R, 0, 0])
         path = np.asarray(path_buf)
