@@ -38,9 +38,9 @@ import numpy as np
 NEG_INF = -(2**28)
 VALID_T = -(2**27)  # values above this are reachable states
 
-SMALL_B = 64
-SMALL_P = 8
-SMALL_W = 2
+SMALL_B = 32
+SMALL_P = 4
+SMALL_W = 1
 CHUNKS = (64, 512)
 
 
@@ -439,6 +439,21 @@ class DeviceDiploidDP:
             self._jit[key] = jax.jit(run)
         return self._jit[key]
 
+    def _pathbuf_update(self):
+        """Donated in-place row update of the path buffer (avoids a full
+        functional copy per backtraced op)."""
+        import jax
+        import jax.numpy as jnp
+
+        key = "pbupd"
+        if key not in self._jit:
+
+            def f(pb, rows, off):
+                return jax.lax.dynamic_update_slice(pb, rows, (off, jnp.int32(0)))
+
+            self._jit[key] = jax.jit(f, donate_argnums=(0,))
+        return self._jit[key]
+
     def _trace_fn(self, T: int):
         """Reverse walk through a chunk's backpointers, on device."""
         import jax
@@ -548,12 +563,11 @@ class DeviceDiploidDP:
                     )
                     ys = ys[None]
                 seg.append((oi, ys))
+            upd = self._pathbuf_update()
             for oi, ys in reversed(seg):
                 op = ops[oi]
                 carry, rows = self._trace_fn(op.T)(ys, carry)
-                path_buf = jax.lax.dynamic_update_slice(
-                    path_buf, rows, (np.int32(row_offsets[oi]), np.int32(0))
-                )
+                path_buf = upd(path_buf, rows, np.int32(row_offsets[oi]))
             span_end = s
 
         # single synchronisation

@@ -1,0 +1,106 @@
+"""Device kernels (CPU backend): sketch/murmur bit-parity with the host
+scanner, and the jax diploid DP tier vs the exact tier on random DAGs."""
+
+import random
+
+import numpy as np
+import pytest
+
+from dipgenie_tpu.ops.sketch_jax import sketch_reads_device
+from dipgenie_tpu.sketch.minimizers import sketch_sequence
+
+
+def test_device_sketch_bit_parity():
+    random.seed(42)
+    seqs = []
+    for _ in range(30):
+        n = random.randint(56, 200)
+        seqs.append("".join(random.choice("ACGT") for _ in range(n)))
+    seqs.append("ACGTN" * 20)  # non-ACGT → host fallback path
+    dev = sketch_reads_device(seqs, 31, 25, batch=8)
+    for i, s in enumerate(seqs):
+        host = np.unique(sketch_sequence(s, 31, 25).hashes)
+        assert np.array_equal(dev[i], host), i
+
+
+def _random_leveled_graph(rng, L=12, kmax=5, ncolors=8):
+    """Random levelized expanded-graph-shaped instance."""
+    from dipgenie_tpu.graph.expanded import ExpandedGraph
+
+    widths = [1] + [int(rng.integers(1, kmax + 1)) for _ in range(L - 2)] + [1]
+    ids = []
+    level_of = []
+    for l, w in enumerate(widths):
+        for _ in range(w):
+            level_of.append(l)
+    n = len(level_of)
+    starts = np.cumsum([0] + widths)
+    g = ExpandedGraph(
+        adj_list=[[] for _ in range(n)],
+        color=[[] for _ in range(n)],
+        original_vertex=[[v] for v in range(n)],
+        haplotype=[0] * n,
+        level=list(level_of),
+        vertices_in_level=[
+            list(range(starts[l], starts[l + 1])) for l in range(L)
+        ],
+    )
+    for l in range(L - 1):
+        for u in range(starts[l], starts[l + 1]):
+            deg = int(rng.integers(1, 3))
+            for _ in range(deg):
+                v = int(rng.integers(starts[l + 1], starts[l + 2]))
+                g.adj_list[u].append((v, int(rng.random() < 0.3)))
+        # every next-level vertex needs an in-edge for reachability variety
+        for v in range(starts[l + 1], starts[l + 2]):
+            if not any(v == t for u in range(starts[l], starts[l + 1])
+                       for t, _ in g.adj_list[u]):
+                u = int(rng.integers(starts[l], starts[l + 1]))
+                g.adj_list[u].append((v, 0))
+    for v in range(n):
+        for c in rng.choice(ncolors, size=rng.integers(0, 4), replace=False):
+            g.color[v].append(int(c))
+        g.color[v].sort()
+    return g
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_jax_dp_matches_exact_tier(seed):
+    from dipgenie_tpu.ops.diploid_jax import DeviceDiploidDP, plan_transitions
+    from dipgenie_tpu.solver.diploid import (
+        _forward_exact, build_color_masks, csr_arrays,
+    )
+
+    rng = np.random.default_rng(seed)
+    g = _random_leveled_graph(rng)
+    ncolors = 8
+    chb = [bool(x) for x in rng.random(ncolors) < 0.4]
+    R = 5
+
+    Hm, Tm = build_color_masks(g, chb)
+    ev, es, etr = _forward_exact(g, R, Hm, Tm)
+
+    plan = plan_transitions(*csr_arrays(g, chb))
+    dv, ds, dtr = DeviceDiploidDP(plan, R).run()
+    assert (dv, ds) == (ev, es)
+    assert dtr == etr
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12])
+def test_native_dp_matches_exact_tier(seed):
+    from dipgenie_tpu import native
+    from dipgenie_tpu.solver.diploid import (
+        _forward_exact, _forward_native, build_color_masks,
+    )
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(seed)
+    g = _random_leveled_graph(rng)
+    chb = [bool(x) for x in rng.random(8) < 0.4]
+    R = 5
+    Hm, Tm = build_color_masks(g, chb)
+    ev, es, etr = _forward_exact(g, R, Hm, Tm)
+    nv, ns, ntr = _forward_native(g, R, chb)
+    assert (nv, ns) == (ev, es)
+    assert ntr == etr
