@@ -41,7 +41,7 @@ VALID_T = -(2**27)  # values above this are reachable states
 SMALL_B = 32
 SMALL_P = 4
 SMALL_W = 1
-CHUNKS = (64, 512)
+CHUNKS = (64,)  # 512-length scans hit a per-level perf cliff on tunnel-attached runtimes
 
 
 @dataclass
@@ -290,6 +290,8 @@ class DeviceDiploidDP:
         self.b_buckets = b_buckets
         self.p_buckets = p_buckets
         self.w_buckets = w_buckets
+        self.throttle = 1000  # forward ops between queue-depth syncs
+        self.throttle_spans = 8  # backward spans between queue-depth syncs
         self._jit = {}
         self._build_program()
         self._device_stacks = None
@@ -524,6 +526,11 @@ class DeviceDiploidDP:
                 )
             if (oi + 1) % self.ckpt_every == 0 and oi + 1 < len(ops):
                 ckpts[oi + 1] = (V, SH, B_cur)
+            if (oi + 1) % self.throttle == 0:
+                # bound the async queue depth: an unbounded enqueue-ahead
+                # keeps every intermediate buffer alive simultaneously and
+                # stalls the device allocator
+                V.block_until_ready()
             if verbose and (oi + 1) % 1000 == 0:
                 vlog(f"forward op {oi+1}/{len(ops)}")
 
@@ -569,6 +576,8 @@ class DeviceDiploidDP:
                 carry, rows = self._trace_fn(op.T)(ys, carry)
                 path_buf = upd(path_buf, rows, np.int32(row_offsets[oi]))
             span_end = s
+            if (si + 1) % self.throttle_spans == 0:
+                carry.block_until_ready()  # queue-depth bound (see forward)
 
         # single synchronisation
         vlog("all ops enqueued; synchronising")

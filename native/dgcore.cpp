@@ -325,6 +325,15 @@ int32_t dg_diploid_dp(int64_t nv, int64_t L, int32_t R,
     // scratch reused across levels
     std::vector<uint64_t> lmask_h, lmask_t, rmask_h, rmask_t;
     std::vector<int32_t> pred_ptr, pred_i, pred_w;
+    std::vector<int32_t> nval_buf;
+    std::vector<int64_t> nshet_buf;
+    int32_t max_color = -1;
+    for (int64_t c = 0; c < hom_ptr[nv]; c++)
+        max_color = std::max(max_color, hom_colors[c]);
+    for (int64_t c = 0; c < het_ptr[nv]; c++)
+        max_color = std::max(max_color, het_colors[c]);
+    std::vector<int32_t> cstamp(max_color + 1, -1), clocal(max_color + 1);
+    int32_t stamp_version = -1;
 
     for (int64_t l = 0; l + 1 < L; l++) {
         const int64_t b0 = level_ptr[l], b1 = level_ptr[l + 1], b2 = level_ptr[l + 2];
@@ -332,18 +341,23 @@ int32_t dg_diploid_dp(int64_t nv, int64_t L, int32_t R,
         const int32_t k2 = (int32_t)(b2 - b1);
 
         // ---- local colour re-indexing over levels l and l+1 ----
-        std::unordered_map<int32_t, int32_t> cmap;
-        auto map_colors = [&](int64_t vstart, int64_t vend) {
-            for (int64_t v = vstart; v < vend; v++) {
-                for (int64_t c = hom_ptr[v]; c < hom_ptr[v + 1]; c++)
-                    cmap.emplace(hom_colors[c], (int32_t)cmap.size());
-                for (int64_t c = het_ptr[v]; c < het_ptr[v + 1]; c++)
-                    cmap.emplace(het_colors[c], (int32_t)cmap.size());
+        // stamp-versioned remap table (O(1) per colour, no hashing)
+        int32_t n_local = 0;
+        ++stamp_version;
+        auto local_id = [&](int32_t c) {
+            if (cstamp[c] != stamp_version) {
+                cstamp[c] = stamp_version;
+                clocal[c] = n_local++;
             }
+            return clocal[c];
         };
-        map_colors(b0, b1);
-        map_colors(b1, b2);
-        const int32_t nwords = (int32_t)((cmap.size() + 63) / 64);
+        for (int64_t v = b0; v < b2; v++) {
+            for (int64_t c = hom_ptr[v]; c < hom_ptr[v + 1]; c++)
+                local_id(hom_colors[c]);
+            for (int64_t c = het_ptr[v]; c < het_ptr[v + 1]; c++)
+                local_id(het_colors[c]);
+        }
+        const int32_t nwords = (n_local + 63) / 64;
 
         auto fill_masks = [&](int64_t vstart, int32_t cnt,
                               std::vector<uint64_t>& mh, std::vector<uint64_t>& mt) {
@@ -352,11 +366,11 @@ int32_t dg_diploid_dp(int64_t nv, int64_t L, int32_t R,
             for (int32_t i = 0; i < cnt; i++) {
                 int64_t v = vstart + i;
                 for (int64_t c = hom_ptr[v]; c < hom_ptr[v + 1]; c++) {
-                    int32_t lc = cmap[hom_colors[c]];
+                    int32_t lc = local_id(hom_colors[c]);
                     mh[(size_t)i * nwords + lc / 64] |= 1ULL << (lc % 64);
                 }
                 for (int64_t c = het_ptr[v]; c < het_ptr[v + 1]; c++) {
-                    int32_t lc = cmap[het_colors[c]];
+                    int32_t lc = local_id(het_colors[c]);
                     mt[(size_t)i * nwords + lc / 64] |= 1ULL << (lc % 64);
                 }
             }
@@ -387,10 +401,12 @@ int32_t dg_diploid_dp(int64_t nv, int64_t L, int32_t R,
             }
         }
 
-        std::vector<int32_t> nval((size_t)W * k2 * k2, NEG_INF);
-        std::vector<int64_t> nshet((size_t)W * k2 * k2, 0);
+        nval_buf.assign((size_t)W * k2 * k2, NEG_INF);
+        nshet_buf.assign((size_t)W * k2 * k2, 0);
         bp[l + 1].assign((size_t)W * k2 * k2, -1);
         int32_t* bpl = bp[l + 1].data();
+        int32_t* nval = nval_buf.data();
+        int64_t* nshet = nshet_buf.data();
 
         struct Cand {
             int32_t i, j, wu, wv, score, symd;
@@ -434,39 +450,53 @@ int32_t dg_diploid_dp(int64_t nv, int64_t L, int32_t R,
                             cands.push_back({i, j, wu, wv, inter + symd, symd});
                         }
                     }
+                    // candidate-outer, r-inner over r-contiguous state
+                    int32_t best[64], bi[64], bj[64], bbp[64];
+                    int64_t bsh[64];
                     for (int32_t r2 = 0; r2 <= R; r2++) {
-                        int32_t best = NEG_INF, bi = INT32_MAX, bj = INT32_MAX;
-                        int32_t bw_u = 0, bw_v = 0, br = -1;
-                        int64_t bsh = 0;
-                        for (const Cand& c : cands) {
-                            const int32_t wsum = c.wu + c.wv;
-                            if (wsum > r2) continue;
-                            const int32_t r = r2 - wsum;
-                            const int32_t sv = val[((size_t)r * k + c.i) * k + c.j];
+                        best[r2] = NEG_INF;
+                        bi[r2] = INT32_MAX;
+                        bj[r2] = INT32_MAX;
+                        bbp[r2] = -1;
+                        bsh[r2] = 0;
+                    }
+                    for (const Cand& c : cands) {
+                        const int32_t wsum = c.wu + c.wv;
+                        const int32_t* src =
+                            &val[((size_t)c.i * k + c.j) * W];
+                        const int64_t* ssh =
+                            &shet[((size_t)c.i * k + c.j) * W];
+                        const int32_t pk =
+                            c.i | (c.j << 12) | (c.wu << 24) | (c.wv << 25);
+                        for (int32_t r2 = wsum; r2 <= R; r2++) {
+                            const int32_t sv = src[r2 - wsum];
                             if (sv == NEG_INF) continue;
-                            const int32_t cand = sv + c.score;
-                            if (cand > best ||
-                                (cand == best &&
-                                 (c.i < bi || (c.i == bi && c.j < bj)))) {
-                                best = cand;
-                                bi = c.i; bj = c.j; br = r;
-                                bw_u = c.wu; bw_v = c.wv;
-                                bsh = shet[((size_t)r * k + c.i) * k + c.j] + c.symd;
+                            const int32_t candv = sv + c.score;
+                            if (candv > best[r2] ||
+                                (candv == best[r2] &&
+                                 (c.i < bi[r2] ||
+                                  (c.i == bi[r2] && c.j < bj[r2])))) {
+                                best[r2] = candv;
+                                bi[r2] = c.i;
+                                bj[r2] = c.j;
+                                bbp[r2] = pk;
+                                bsh[r2] = ssh[r2 - wsum] + c.symd;
                             }
                         }
-                        const size_t di = ((size_t)r2 * k2 + i2) * k2 + j2;
-                        if (best != NEG_INF) {
-                            nval[di] = best;
-                            nshet[di] = bsh;
-                            bpl[di] = bi | (bj << 12) | (bw_u << 24) | (bw_v << 25);
-                            (void)br;
+                    }
+                    const size_t base_di = ((size_t)i2 * k2 + j2) * W;
+                    for (int32_t r2 = 0; r2 <= R; r2++) {
+                        if (best[r2] != NEG_INF) {
+                            nval[base_di + r2] = best[r2];
+                            nshet[base_di + r2] = bsh[r2];
+                            bpl[base_di + r2] = bbp[r2];
                         }
                     }
                 }
             }
         }
-        val.swap(nval);
-        shet.swap(nshet);
+        val.swap(nval_buf);
+        shet.swap(nshet_buf);
         if (progress && (l % 10000 == 0)) {
             fprintf(stderr, "\r[dg_diploid_dp] level %lld/%lld", (long long)l,
                     (long long)L);
@@ -478,12 +508,12 @@ int32_t dg_diploid_dp(int64_t nv, int64_t L, int32_t R,
     // ---- backtrack from (r=R, 0, 0) at the last level ----
     int32_t k_last = (int32_t)(level_ptr[L] - level_ptr[L - 1]);
     (void)k_last;
-    int32_t sink_val = val[(size_t)R * 1 * 1];  // sink level has width 1
-    *out_shet = shet[(size_t)R];
+    int32_t sink_val = val[R];  // sink level has width 1, layout [i][j][r]
+    *out_shet = shet[R];
     int32_t i2 = 0, j2 = 0, r2 = R;
     for (int64_t l = L - 1; l >= 1; l--) {
         const int32_t kk2 = (int32_t)(level_ptr[l + 1] - level_ptr[l]);
-        const size_t di = ((size_t)r2 * kk2 + i2) * kk2 + j2;
+        const size_t di = ((size_t)i2 * kk2 + j2) * W + r2;
         int32_t packed = bp[l][di];
         int32_t pi = packed & 0xFFF;
         int32_t pj = (packed >> 12) & 0xFFF;

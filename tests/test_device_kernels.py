@@ -11,15 +11,19 @@ from dipgenie_tpu.sketch.minimizers import sketch_sequence
 
 
 def test_device_sketch_bit_parity():
+    # k=17 exercises both the 16-byte murmur block path and the tail path
+    # while keeping the XLA-CPU compile of the emulated-u64 graph fast;
+    # k=31 parity is covered by the TPU-side pipeline runs.
     random.seed(42)
     seqs = []
-    for _ in range(30):
-        n = random.randint(56, 200)
+    for _ in range(20):
+        n = random.randint(40, 160)
         seqs.append("".join(random.choice("ACGT") for _ in range(n)))
     seqs.append("ACGTN" * 20)  # non-ACGT → host fallback path
-    dev = sketch_reads_device(seqs, 31, 25, batch=8)
+    k, w = 17, 7
+    dev = sketch_reads_device(seqs, k, w, batch=8)
     for i, s in enumerate(seqs):
-        host = np.unique(sketch_sequence(s, 31, 25).hashes)
+        host = np.unique(sketch_sequence(s, k, w).hashes)
         assert np.array_equal(dev[i], host), i
 
 
