@@ -55,6 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--version", action="store_true")
     ap.add_argument("--dp-backend", type=str, default="auto",
                     choices=["auto", "exact", "native", "jax"])
+    ap.add_argument("--sketch-backend", type=str, default="host",
+                    choices=["host", "device"])
     ap.add_argument("--progress", action="store_true")
     return ap
 
@@ -92,7 +94,7 @@ def main(argv: list[str] | None = None) -> int:
             k=args.k, w=args.w, recombination_limit=args.R,
             recombination_penalty=args.P, ploidy=args.p, threshold=args.T,
             num_threads=args.t, debug=bool(args.d), progress=args.progress,
-            dp_backend=args.dp_backend,
+            dp_backend=args.dp_backend, sketch_backend=args.sketch_backend,
         )
         Pipeline(args.g, args.r, args.o, cfg).run()
 

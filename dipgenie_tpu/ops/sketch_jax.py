@@ -304,6 +304,30 @@ def batch_minimizer_kernel(codes, lens, k: int, w: int):
     return hh, hl, emit, bpos
 
 
+def sketch_long_sequence_device(seq: str, k: int, w: int):
+    """Device sketch of one long (haplotype) sequence. Returns
+    (hashes uint64, positions int64) identical to the host scanner.
+    Falls back to the host path for non-ACGT sequences."""
+    import jax
+
+    from ..sketch.minimizers import sketch_sequence
+
+    jnp = _jnp()
+    codes, lens, pure = encode_reads([seq], len(seq))
+    if not pure[0] or len(seq) < w + k - 1:
+        m = sketch_sequence(seq, k, w)
+        return m.hashes, m.positions
+    hh, hl, emit, minpos = jax.jit(
+        partial(batch_minimizer_kernel, k=k, w=w)
+    )(jnp.asarray(codes), jnp.asarray(lens))
+    hh = np.asarray(hh[0], np.uint64)
+    hl = np.asarray(hl[0], np.uint64)
+    em = np.asarray(emit[0])
+    mp = np.asarray(minpos[0], np.int64)
+    h64 = (hh << np.uint64(32)) | hl
+    return h64[em], mp[em]
+
+
 def sketch_reads_device(seqs: list[str], k: int, w: int, batch: int = 2048):
     """Convenience wrapper: device sketch of many reads; returns list of
     per-read unique uint64 hash arrays (numpy). Non-ACGT reads fall back

@@ -32,7 +32,7 @@ import numpy as np
 from ..graph.pangenome import PangenomeIndex
 from ..models.classifier import KGParams, classify_labels, HET, HOM
 from ..models.fitter import KGFitOptions, KGFitResult, fit_histogram
-from ..sketch.minimizers import sketch_sequence
+from ..sketch.minimizers import Minimizers, sketch_sequence
 from ..utils.timing import log_stage
 
 Chain = tuple[int, ...]
@@ -79,26 +79,39 @@ def compute_and_classify_anchors(
     w: int,
     threshold: float,
     verbose: bool = True,
+    sketch_backend: str = "host",  # host | device
 ) -> AnchorData:
     H = index.num_walks
     data = AnchorData()
+
+    use_device = sketch_backend == "device"
+    if use_device:
+        from ..ops.sketch_jax import (
+            sketch_long_sequence_device, sketch_reads_device,
+        )
 
     # 1) sketch haplotypes
     if verbose:
         print("Number of Minimizers", file=sys.stderr)
     hap_minis = []
     for h in range(H):
-        mins = sketch_sequence(index.haplotype_seq(h), k, w)
+        if use_device:
+            hs, ps = sketch_long_sequence_device(index.haplotype_seq(h), k, w)
+            mins = Minimizers(hs, ps, k)
+        else:
+            mins = sketch_sequence(index.haplotype_seq(h), k, w)
         hap_minis.append(mins)
         data.hap_minimizer_counts.append(len(mins.hashes))
         if verbose:
             print(f"{index.hap_id2name[h]} : {len(mins.hashes)}", file=sys.stderr)
 
     # 2) sketch reads -> per-read unique hash sets
-    read_hashes: list[np.ndarray] = []
-    for _, seq in reads:
-        m = sketch_sequence(seq, k, w)
-        read_hashes.append(np.unique(m.hashes))
+    if use_device:
+        read_hashes = sketch_reads_device([seq for _, seq in reads], k, w)
+    else:
+        read_hashes = [
+            np.unique(sketch_sequence(seq, k, w).hashes) for _, seq in reads
+        ]
 
     # 3) spectrum: ascending distinct hashes -> dense ids (std::map order)
     all_hashes = (

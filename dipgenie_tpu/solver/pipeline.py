@@ -49,6 +49,7 @@ class PipelineConfig:
     verbose: bool = True
     progress: bool = False
     dp_backend: str = "auto"  # exact | jax | native | auto
+    sketch_backend: str = "host"  # host | device
 
 
 class Pipeline:
@@ -74,7 +75,8 @@ class Pipeline:
             self.load()
         reads = read_fastx(self.reads_file)
         self.anchors = compute_and_classify_anchors(
-            self.index, reads, cfg.k, cfg.w, cfg.threshold, verbose=cfg.verbose
+            self.index, reads, cfg.k, cfg.w, cfg.threshold, verbose=cfg.verbose,
+            sketch_backend=cfg.sketch_backend,
         )
         self.solve(diploid=(cfg.ploidy == 2), out=out)
 
