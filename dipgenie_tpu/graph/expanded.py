@@ -96,6 +96,117 @@ class ExpandedGraph:
                 new_adj[u].append((new_idx[old_v], w))
         self.adj_list = new_adj
 
+    # ---- 0-weight chain compaction (ExpandedGraph.hpp:132-265) ----
+    def compactify(self, old_sink: int) -> int:
+        """Merge colourless interior 0-weight chains into their
+        predecessor. Present for component parity with the reference
+        (ExpandedGraph::compactify); the reference pipeline itself never
+        calls it (see SURVEY §2.1), but it is useful for shrinking
+        graphs before the DP. Returns the new sink id (or -1)."""
+        n = len(self.adj_list)
+        indeg = [0] * n
+        outdeg = [0] * n
+        indeg0 = [0] * n
+        outdeg0 = [0] * n
+        for u in range(n):
+            for v, w in self.adj_list[u]:
+                outdeg[u] += 1
+                indeg[v] += 1
+                if w == 0:
+                    outdeg0[u] += 1
+                    indeg0[v] += 1
+
+        new_adj: list[list[tuple[int, int]]] = []
+        new_color: list[list[int]] = []
+        new_orig: list[list[int]] = []
+        new_hap: list[int] = []
+        id_map = [-1] * n
+        done = [False] * n
+        swallowed = [False] * n
+
+        def add_vertex(old_id: int) -> int:
+            nid = len(new_adj)
+            id_map[old_id] = nid
+            new_adj.append([])
+            new_color.append(list(self.color[old_id]))
+            new_orig.append(list(self.original_vertex[old_id]))
+            new_hap.append(self.haplotype[old_id])
+            return nid
+
+        def unique_zero_succ(u: int) -> int:
+            succ = -1
+            for v, w in self.adj_list[u]:
+                if w != 0:
+                    continue
+                if succ == -1:
+                    succ = v
+                else:
+                    return -2
+            return succ
+
+        for u0 in range(n):
+            if done[u0]:
+                continue
+            keep = (
+                bool(self.color[u0])
+                or indeg0[u0] != indeg[u0]
+                or outdeg0[u0] != outdeg[u0]
+                or indeg0[u0] != 1
+                or outdeg0[u0] != 1
+            )
+            if not keep:
+                continue
+            new_u = id_map[u0] if id_map[u0] != -1 else add_vertex(u0)
+            done[u0] = True
+            for v, w in self.adj_list[u0]:
+                if w != 0:
+                    nv = id_map[v] if id_map[v] != -1 else add_vertex(v)
+                    new_adj[new_u].append((nv, w))
+                    continue
+                cur = v
+                hops = 0
+                while (
+                    not swallowed[cur]
+                    and not self.color[cur]
+                    and indeg0[cur] == 1
+                    and outdeg0[cur] == 1
+                    and indeg[cur] == 1
+                    and outdeg[cur] == 1
+                ):
+                    swallowed[cur] = True
+                    new_orig[new_u].extend(self.original_vertex[cur])
+                    nxt = unique_zero_succ(cur)
+                    assert nxt >= 0
+                    cur = nxt
+                    hops += 1
+                    if hops > n + 5:
+                        raise RuntimeError("compactify: suspected 0-weight cycle")
+                nv = id_map[cur] if id_map[cur] != -1 else add_vertex(cur)
+                new_adj[new_u].append((nv, 0))
+
+        self.adj_list = new_adj
+        self.color = new_color
+        self.original_vertex = new_orig
+        self.haplotype = new_hap
+
+        new_sink = -1
+        if 0 <= old_sink < n:
+            if id_map[old_sink] != -1:
+                new_sink = id_map[old_sink]
+            else:
+                cur = old_sink
+                seen = set()
+                while cur not in seen:
+                    seen.add(cur)
+                    nxt = unique_zero_succ(cur)
+                    if nxt < 0:
+                        break
+                    if id_map[nxt] != -1:
+                        new_sink = id_map[nxt]
+                        break
+                    cur = nxt
+        return new_sink
+
     # ---- strict BFS levelize (ExpandedGraph.hpp:269-409) ----
     def strict_bfs_levelize_and_reorder(self) -> int:
         n0 = len(self.adj_list)

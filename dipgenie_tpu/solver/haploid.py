@@ -32,7 +32,7 @@ from ..graph.expanded import ExpandedGraph
 HAP_ANGLE_THRESHOLD = 5.0
 
 
-def dp_approximation_solver(g: ExpandedGraph, R: int, out=sys.stdout) -> list[int]:
+def _forward_numpy(g: ExpandedGraph, R: int):
     n = len(g.adj_list)
     dp = np.zeros((n, R + 1), np.int64)
     back_vtx = np.full((n, R + 1), -1, np.int64)
@@ -56,28 +56,85 @@ def dp_approximation_solver(g: ExpandedGraph, R: int, out=sys.stdout) -> list[in
                 rr = np.arange(0, R + 1 - w)
                 bv[sl] = np.where(better, u, bv[sl])
                 br[sl] = np.where(better, rr, br[sl])
+    return back_vtx, back_r
 
-    # per-r backtrack (approximator.cpp:74-102)
-    colors_by_r: list[int] = []
-    occ_count_by_r: list[dict[int, int]] = []
-    for r in range(R + 1):
-        true_colours: set[int] = set()
-        occ_count: dict[int, int] = {}
+
+def _forward_native(g: ExpandedGraph, R: int):
+    from .. import native
+
+    n = len(g.adj_list)
+    deg = np.asarray([len(a) for a in g.adj_list], np.int64)
+    adj_ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(deg, out=adj_ptr[1:])
+    ne = int(adj_ptr[-1])
+    adj_v = np.empty(ne, np.int32)
+    adj_w = np.empty(ne, np.int8)
+    pos = 0
+    for u in range(n):
+        for v, w in g.adj_list[u]:
+            adj_v[pos] = v
+            adj_w[pos] = w
+            pos += 1
+    csize = np.asarray([len(c) for c in g.color], np.int64)
+    _dp, bv, br = native.haploid_dp(adj_ptr, adj_v, adj_w, csize, R)
+    return bv.astype(np.int64), br.astype(np.int64)
+
+
+def dp_approximation_solver(g: ExpandedGraph, R: int, out=sys.stdout) -> list[int]:
+    n = len(g.adj_list)
+    try:
+        from .. import native
+
+        use_native = native.available()
+    except Exception:  # noqa: BLE001
+        use_native = False
+    if use_native:
+        back_vtx, back_r = _forward_native(g, R)
+    else:
+        back_vtx, back_r = _forward_numpy(g, R)
+
+    # per-r backtrack (approximator.cpp:74-102), vectorized colour counting
+    cptr = np.zeros(n + 1, np.int64)
+    for v in range(n):
+        cptr[v + 1] = cptr[v] + len(g.color[v])
+    cvals = np.fromiter(
+        (c for cs in g.color for c in cs), np.int64, int(cptr[-1])
+    )
+
+    def backtrack_path(r: int) -> np.ndarray:
+        path = []
         cur_vtx, cur_r = n - 1, r
         while cur_vtx != -1:
-            for c in g.color[cur_vtx]:
-                true_colours.add(c)
-                occ_count[c] = occ_count.get(c, 0) + 1
+            path.append(cur_vtx)
             t = cur_vtx
             cur_vtx = int(back_vtx[t, cur_r])
             cur_r = int(back_r[t, cur_r])
-        colors_by_r.append(len(true_colours))
-        occ_count_by_r.append(occ_count)
+        return np.asarray(path[::-1], np.int64)
 
-    for i in range(len(occ_count_by_r) - 1):
-        occ = occ_count_by_r[i]
-        avg = sum(occ.values()) / len(occ) if occ else float("nan")
-        print(f"Approximation ratio certificate: {_fmt(avg)}", file=out)
+    def path_colors(path: np.ndarray) -> np.ndarray:
+        lens = cptr[path + 1] - cptr[path]
+        total = int(lens.sum())
+        if total == 0:
+            return np.empty(0, np.int64)
+        starts = cptr[path]
+        cum = np.cumsum(lens) - lens
+        within = np.arange(total) - np.repeat(cum, lens)
+        return cvals[np.repeat(starts, lens) + within]
+
+    colors_by_r: list[int] = []
+    avg_by_r: list[float] = []
+    for r in range(R + 1):
+        cols = path_colors(backtrack_path(r))
+        uniq, counts = np.unique(cols, return_counts=True)
+        colors_by_r.append(len(uniq))
+        avg_by_r.append(
+            float(counts.sum()) / len(uniq)
+            if len(uniq)
+            else math.copysign(math.nan, -1.0)  # 0.0/0 → -nan (x86)
+        )
+
+    for i in range(len(avg_by_r) - 1):
+        print(f"Approximation ratio certificate: {_fmt(avg_by_r[i])}", file=out)
 
     # knee pick (approximator.cpp:115-136)
     best_r = 0
