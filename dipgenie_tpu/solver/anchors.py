@@ -85,10 +85,15 @@ def compute_and_classify_anchors(
     data = AnchorData()
 
     use_device = sketch_backend == "device"
+    use_native = False
     if use_device:
         from ..ops.sketch_jax import (
             sketch_long_sequence_device, sketch_reads_device,
         )
+    elif sketch_backend in ("host", "auto"):
+        from .. import native as _native
+
+        use_native = _native.available()
 
     # 1) sketch haplotypes
     if verbose:
@@ -97,6 +102,12 @@ def compute_and_classify_anchors(
     for h in range(H):
         if use_device:
             hs, ps = sketch_long_sequence_device(index.haplotype_seq(h), k, w)
+            mins = Minimizers(hs, ps, k)
+        elif use_native:
+            seq = np.frombuffer(
+                index.haplotype_seq(h).encode("latin-1"), np.uint8
+            )
+            hs, ps = _native.sketch(seq, k, w)
             mins = Minimizers(hs, ps, k)
         else:
             mins = sketch_sequence(index.haplotype_seq(h), k, w)
@@ -108,6 +119,11 @@ def compute_and_classify_anchors(
     # 2) sketch reads -> per-read unique hash sets
     if use_device:
         read_hashes = sketch_reads_device([seq for _, seq in reads], k, w)
+    elif use_native:
+        batched = _native.sketch_batch(
+            [seq.encode("latin-1") for _, seq in reads], k, w
+        )
+        read_hashes = [np.unique(h) for h in batched]
     else:
         read_hashes = [
             np.unique(sketch_sequence(seq, k, w).hashes) for _, seq in reads
