@@ -176,37 +176,38 @@ def csr_arrays(g: ExpandedGraph, color_homo_bv):
     L = len(g.vertices_in_level)
     n = len(g.adj_list)
     level_ptr = np.zeros(L + 1, np.int64)
-    for l in range(L):
-        level_ptr[l + 1] = level_ptr[l] + len(g.vertices_in_level[l])
-        # levelized ids are consecutive per level
-        assert g.vertices_in_level[l][0] == level_ptr[l]
-    deg = np.asarray([len(a) for a in g.adj_list], np.int64)
+    widths = np.fromiter(
+        (len(lv) for lv in g.vertices_in_level), np.int64, L
+    )
+    np.cumsum(widths, out=level_ptr[1:])
+    # levelized ids are consecutive per level
+    assert all(
+        len(lv) == 0 or lv[0] == level_ptr[l]
+        for l, lv in enumerate(g.vertices_in_level)
+    )
+
+    deg = np.fromiter((len(a) for a in g.adj_list), np.int64, n)
     adj_ptr = np.zeros(n + 1, np.int64)
     np.cumsum(deg, out=adj_ptr[1:])
-    adj_v = np.empty(int(adj_ptr[-1]), np.int32)
-    adj_w = np.empty(int(adj_ptr[-1]), np.int8)
-    pos = 0
-    for u in range(n):
-        for v, w in g.adj_list[u]:
-            adj_v[pos] = v
-            adj_w[pos] = w
-            pos += 1
-    hom_lists = []
-    het_lists = []
-    for colors in g.color:
-        hom_lists.append([c for c in colors if color_homo_bv[c]])
-        het_lists.append([c for c in colors if not color_homo_bv[c]])
+    ne = int(adj_ptr[-1])
+    flat = np.fromiter(
+        (x for a in g.adj_list for vw in a for x in vw), np.int64, 2 * ne
+    )
+    adj_v = flat[0::2].astype(np.int32)
+    adj_w = flat[1::2].astype(np.int8)
+
+    ccnt = np.fromiter((len(c) for c in g.color), np.int64, n)
+    nc = int(ccnt.sum())
+    col_vals = np.fromiter((c for cs in g.color for c in cs), np.int64, nc)
+    rows = np.repeat(np.arange(n, dtype=np.int64), ccnt)
+    chb = np.asarray(color_homo_bv, bool)
+    is_h = chb[col_vals] if nc else np.zeros(0, bool)
     hom_ptr = np.zeros(n + 1, np.int64)
     het_ptr = np.zeros(n + 1, np.int64)
-    for u in range(n):
-        hom_ptr[u + 1] = hom_ptr[u] + len(hom_lists[u])
-        het_ptr[u + 1] = het_ptr[u] + len(het_lists[u])
-    hom_colors = np.fromiter(
-        (c for lst in hom_lists for c in lst), np.int32, int(hom_ptr[-1])
-    )
-    het_colors = np.fromiter(
-        (c for lst in het_lists for c in lst), np.int32, int(het_ptr[-1])
-    )
+    np.cumsum(np.bincount(rows[is_h], minlength=n), out=hom_ptr[1:])
+    np.cumsum(np.bincount(rows[~is_h], minlength=n), out=het_ptr[1:])
+    hom_colors = col_vals[is_h].astype(np.int32)
+    het_colors = col_vals[~is_h].astype(np.int32)
     return (level_ptr, adj_ptr, adj_v, adj_w, hom_ptr, hom_colors,
             het_ptr, het_colors)
 
