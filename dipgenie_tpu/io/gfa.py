@@ -218,6 +218,35 @@ def read_gfa(fn: str) -> Gfa:
     return g
 
 
+def write_gfa(g: Gfa, path: str) -> None:
+    """GFA v1.1 writer (gfa_print parity, gfa-io.cpp:510-533): S lines
+    with LN tag, primary L lines (complement arcs skipped), W lines."""
+    with open(path, "w") as fh:
+        fh.write("H\tVN:Z:1.1\n")
+        for sid in range(g.n_seg):
+            if g.seg_del[sid]:
+                continue
+            seq = g.seg_seqs[sid] if g.seg_seqs[sid] is not None else "*"
+            fh.write(
+                f"S\t{g.seg_names[sid]}\t{seq}\tLN:i:{g.seg_lens[sid]}\n"
+            )
+        for v, w, ov, ow, comp in g.arcs:
+            if comp:
+                continue
+            fh.write(
+                f"L\t{g.seg_names[v >> 1]}\t{'-' if v & 1 else '+'}"
+                f"\t{g.seg_names[w >> 1]}\t{'-' if w & 1 else '+'}\t{ov}M\n"
+            )
+        for wk in g.walks:
+            walk_str = "".join(
+                ("<" if v & 1 else ">") + g.seg_names[v >> 1] for v in wk.v
+            )
+            fh.write(
+                f"W\t{wk.sample}\t{wk.hap}\t{wk.seqname}\t{wk.st}\t{wk.en}"
+                f"\t{walk_str}\n"
+            )
+
+
 def _walk_flip(g: Gfa) -> None:
     """Canonicalize walk orientation by majority strand (gfa-io.cpp:64-115)."""
     if not g.walks:
