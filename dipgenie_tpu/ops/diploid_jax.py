@@ -500,11 +500,14 @@ class DeviceDiploidDP:
             self._jit[key] = jax.jit(run)
         return self._jit[key]
 
-    def measure_forward(self, passes: int = 2) -> float:
+    def measure_forward(self, passes: int = 2, fetch_value: bool = False):
         """Steady-state wall seconds of one full forward pass, measured
         WITHOUT any device→host transfer (block_until_ready only). Used
         by bench.py: fetches poison dispatch latency on some runtimes,
-        and a real production run needs exactly one fetch at the end."""
+        and a real production run needs exactly one fetch at the end.
+
+        With fetch_value=True, additionally returns the DP sink value via
+        a single post-measurement fetch: (seconds, value)."""
         import time as _time
 
         import jax.numpy as jnp
@@ -535,6 +538,8 @@ class DeviceDiploidDP:
             V.block_until_ready()
             dt = _time.time() - t0
             best = dt if best is None else min(best, dt)
+        if fetch_value:
+            return best, int(np.asarray(V)[R, 0, 0])
         return best
 
     # ---------------- driver ----------------
