@@ -72,6 +72,16 @@ def get_lib():
     lib.dg_backtrack.argtypes = [
         ctypes.c_int64, ctypes.c_int32, c_i32p, c_i32p, ctypes.c_int32, c_i32p,
     ]
+    lib.dg_levelize_run.restype = ctypes.c_int32
+    lib.dg_levelize_run.argtypes = [ctypes.c_int64, c_i64p, c_i32p, c_i8p]
+    lib.dg_levelize_n.restype = ctypes.c_int64
+    lib.dg_levelize_ne.restype = ctypes.c_int64
+    lib.dg_levelize_nl.restype = ctypes.c_int64
+    lib.dg_levelize_maxwidth.restype = ctypes.c_int32
+    lib.dg_levelize_fetch.restype = None
+    lib.dg_levelize_fetch.argtypes = [
+        c_i32p, c_i32p, c_i8p, c_i64p, c_i32p, c_i8p, c_i64p,
+    ]
     lib.dg_std_sort3.restype = None
     lib.dg_std_sort3.argtypes = [c_i64p, c_i64p, c_i64p, c_i32p, ctypes.c_int64]
     lib.dg_diploid_dp.restype = ctypes.c_int32

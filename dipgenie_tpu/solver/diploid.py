@@ -167,11 +167,17 @@ def _forward_exact(g: ExpandedGraph, R: int, Hm, Tm, progress: bool = False):
     return sink_val, sink_shet, transitions
 
 
-def csr_arrays(g: ExpandedGraph, color_homo_bv):
+def csr_arrays(g, color_homo_bv):
     """Dense CSR arrays of the levelized graph for the native/device DPs:
     (level_ptr, adj_ptr, adj_v, adj_w, hom_ptr, hom_colors, het_ptr,
-    het_colors)."""
+    het_colors). Accepts an ExpandedGraph or a LeveledGraph CSR view."""
     import numpy as np
+
+    if hasattr(g, "color_csr"):  # LeveledGraph: already CSR
+        hom_ptr, hom_colors, het_ptr, het_colors = g.color_csr(color_homo_bv)
+        adj_ptr, adj_v, adj_w = g.csr
+        return (g.level_ptr, adj_ptr, adj_v, adj_w,
+                hom_ptr, hom_colors, het_ptr, het_colors)
 
     L = len(g.vertices_in_level)
     n = len(g.adj_list)
@@ -308,6 +314,26 @@ def diploid_dp_solver(
                 q.append(v)
         return -1
 
+    # per-hap anchor arrays for vectorized colour collection
+    import numpy as _np
+
+    anc_so: list[_np.ndarray] = []
+    anc_eo: list[_np.ndarray] = []
+    anc_cptr: list[_np.ndarray] = []
+    anc_cvals: list[_np.ndarray] = []
+    for vec in anchors_by_hap:
+        anc_so.append(_np.asarray([a.startOrg for a in vec], _np.int64))
+        anc_eo.append(_np.asarray([a.endOrg for a in vec], _np.int64))
+        cp = _np.zeros(len(vec) + 1, _np.int64)
+        for ai, a in enumerate(vec):
+            cp[ai + 1] = cp[ai] + len(a.colours)
+        anc_cptr.append(cp)
+        anc_cvals.append(
+            _np.fromiter(
+                (c for a in vec for c in a.colours), _np.int64, int(cp[-1])
+            )
+        )
+
     def recover(weighted_edges: list[tuple[int, int]], tag: str):
         color_freq: dict[int, int] = {}
         colors: list[int] = []
@@ -339,14 +365,27 @@ def diploid_dp_solver(
                 if pv == end_org:
                     activated = False
                     break
-            for a in anchors_by_hap[h]:
-                if a.startOrg > start_org and a.endOrg < end_org:
-                    for c in a.colours:
+            # vectorized: anchors strictly inside (start_org, end_org)
+            hit = _np.nonzero((anc_so[h] > start_org) & (anc_eo[h] < end_org))[0]
+            if len(hit):
+                cp = anc_cptr[h]
+                lens = cp[hit + 1] - cp[hit]
+                total = int(lens.sum())
+                if total:
+                    cum = _np.cumsum(lens) - lens
+                    within = _np.arange(total) - _np.repeat(cum, lens)
+                    cs = anc_cvals[h][_np.repeat(cp[hit], lens) + within]
+                    uniq, first, counts = _np.unique(
+                        cs, return_index=True, return_counts=True
+                    )
+                    # preserve first-appearance order for new colours
+                    order = _np.argsort(first, kind="stable")
+                    for c, n in zip(uniq[order].tolist(), counts[order].tolist()):
                         if c not in color_freq:
-                            color_freq[c] = 1
+                            color_freq[c] = n
                             colors.append(c)
                         else:
-                            color_freq[c] += 1
+                            color_freq[c] += n
             if g.level[edge[1]] == L - 1:
                 break
             next_edge = weighted_edges[ei + 1]

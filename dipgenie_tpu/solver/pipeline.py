@@ -95,12 +95,18 @@ class Pipeline:
             for c in range(build.num_colors):
                 if self.anchors.homo_bv[build.color_to_anchor[c]]:
                     color_homo_bv[c] = True
-            g.strict_bfs_levelize_and_reorder()
             backend = cfg.dp_backend
-            if backend == "auto":
-                from .. import native as _native
+            from .. import native as _native
 
+            if backend == "auto":
                 backend = "native" if _native.available() else "exact"
+            if backend in ("native", "jax") and _native.available():
+                # C++ levelizer + CSR view (no Python list rebuild)
+                from ..graph.leveled import levelize_native
+
+                g = levelize_native(g)
+            else:
+                g.strict_bfs_levelize_and_reorder()
             solutions = diploid_dp_solver(
                 g, cfg.recombination_limit, color_homo_bv,
                 build.anchors_by_hap, self.index, out=out,

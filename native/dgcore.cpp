@@ -412,10 +412,37 @@ int32_t dg_diploid_dp(int64_t nv, int64_t L, int32_t R,
             int32_t i, j, wu, wv, score, symd;
         };
 
+        // sparse word supports: scoring cost scales with the nonzero
+        // bitset words of the participating vertices, not the whole
+        // level-pair colour universe. Uses
+        // |A △ B| = |A| + |B| − 2|A ∩ B| so only intersections (over the
+        // right side's support) plus precomputed popcounts are needed.
+        //   cntTL[i][j] (popcount of Tl_i|Tl_j) is computed per (i,j)
+        //   lazily over the union of the two vertices' supports.
+        std::vector<int32_t> lsup_ptr(k + 1, 0), rsup_ptr(k2 + 1, 0);
+        std::vector<int32_t> lsup, rsup;  // word indices with any bits
+        std::vector<int32_t> lcnt_t(k, 0);  // popcount(Tl_i) per left vertex
+        for (int32_t i = 0; i < k; i++) {
+            const uint64_t* lh_i = &lmask_h[(size_t)i * nwords];
+            const uint64_t* lt_i = &lmask_t[(size_t)i * nwords];
+            for (int32_t t = 0; t < nwords; t++) {
+                if (lh_i[t] | lt_i[t]) lsup.push_back(t);
+                lcnt_t[i] += __builtin_popcountll(lt_i[t]);
+            }
+            lsup_ptr[i + 1] = (int32_t)lsup.size();
+        }
+        for (int32_t i = 0; i < k2; i++) {
+            const uint64_t* rh_i = &rmask_h[(size_t)i * nwords];
+            const uint64_t* rt_i = &rmask_t[(size_t)i * nwords];
+            for (int32_t t = 0; t < nwords; t++)
+                if (rh_i[t] | rt_i[t]) rsup.push_back(t);
+            rsup_ptr[i + 1] = (int32_t)rsup.size();
+        }
+
 #pragma omp parallel
         {
-            std::vector<uint64_t> hr(nwords), tr(nwords);
             std::vector<Cand> cands;
+            std::vector<int32_t> rwords;  // merged support of (i2, j2)
 #pragma omp for schedule(dynamic, 1)
             for (int32_t i2 = 0; i2 < k2; i2++) {
                 const uint64_t* rh2 = &rmask_h[(size_t)i2 * nwords];
@@ -423,10 +450,24 @@ int32_t dg_diploid_dp(int64_t nv, int64_t L, int32_t R,
                 for (int32_t j2 = 0; j2 < k2; j2++) {
                     const uint64_t* rhj = &rmask_h[(size_t)j2 * nwords];
                     const uint64_t* rtj = &rmask_t[(size_t)j2 * nwords];
-                    for (int32_t t = 0; t < nwords; t++) {
-                        hr[t] = rh2[t] | rhj[t];
-                        tr[t] = rt2[t] | rtj[t];
+                    // merged sparse support of the right union
+                    rwords.clear();
+                    {
+                        int32_t a = rsup_ptr[i2], ae = rsup_ptr[i2 + 1];
+                        int32_t b = rsup_ptr[j2], be = rsup_ptr[j2 + 1];
+                        while (a < ae || b < be) {
+                            int32_t wa = a < ae ? rsup[a] : INT32_MAX;
+                            int32_t wb = b < be ? rsup[b] : INT32_MAX;
+                            int32_t wmin = wa < wb ? wa : wb;
+                            rwords.push_back(wmin);
+                            if (wa == wmin) a++;
+                            if (wb == wmin) b++;
+                        }
                     }
+                    int32_t cnt_tr = 0;
+                    for (int32_t t : rwords)
+                        cnt_tr += __builtin_popcountll(rt2[t] | rtj[t]);
+
                     // hoist r-independent candidate scores
                     cands.clear();
                     for (int32_t pe = pred_ptr[i2]; pe < pred_ptr[i2 + 1]; pe++) {
@@ -440,13 +481,32 @@ int32_t dg_diploid_dp(int64_t nv, int64_t L, int32_t R,
                             const int32_t wv = pred_w[qe];
                             const uint64_t* lh_j = &lmask_h[(size_t)j * nwords];
                             const uint64_t* lt_j = &lmask_t[(size_t)j * nwords];
-                            int32_t inter = 0, symd = 0;
-                            for (int32_t t = 0; t < nwords; t++) {
-                                inter += __builtin_popcountll(
-                                    (lh_i[t] | lh_j[t]) & hr[t]);
-                                symd += __builtin_popcountll(
-                                    (lt_i[t] | lt_j[t]) ^ tr[t]);
+                            // cnt(Tl_i | Tl_j) over the union of supports
+                            int32_t cnt_tl;
+                            if (i == j) {
+                                cnt_tl = lcnt_t[i];
+                            } else {
+                                cnt_tl = 0;
+                                int32_t a = lsup_ptr[i], ae = lsup_ptr[i + 1];
+                                int32_t b = lsup_ptr[j], be = lsup_ptr[j + 1];
+                                while (a < ae || b < be) {
+                                    int32_t wa = a < ae ? lsup[a] : INT32_MAX;
+                                    int32_t wb = b < be ? lsup[b] : INT32_MAX;
+                                    int32_t t = wa < wb ? wa : wb;
+                                    cnt_tl += __builtin_popcountll(
+                                        lt_i[t] | lt_j[t]);
+                                    if (wa == t) a++;
+                                    if (wb == t) b++;
+                                }
                             }
+                            int32_t inter = 0, and_t = 0;
+                            for (int32_t t : rwords) {
+                                inter += __builtin_popcountll(
+                                    (lh_i[t] | lh_j[t]) & (rh2[t] | rhj[t]));
+                                and_t += __builtin_popcountll(
+                                    (lt_i[t] | lt_j[t]) & (rt2[t] | rtj[t]));
+                            }
+                            const int32_t symd = cnt_tl + cnt_tr - 2 * and_t;
                             cands.push_back({i, j, wu, wv, inter + symd, symd});
                         }
                     }
@@ -527,6 +587,178 @@ int32_t dg_diploid_dp(int64_t nv, int64_t L, int32_t R,
         i2 = pi; j2 = pj; r2 = r2 - wu - wv;
     }
     return sink_val;
+}
+
+// ---------------------------------------------------------------------------
+// Strict BFS levelization (ExpandedGraph.hpp:269-409 semantics) over CSR.
+//
+// Same algorithm as graph/expanded.py strict_bfs_levelize_and_reorder:
+// unique-source check, BFS distances, Kahn topo, level relaxation, dummy
+// chains so every edge spans one level, stable (level, id) reorder.
+// Results are kept in static storage; call dg_levelize_run, query sizes,
+// then dg_levelize_fetch. src_old[v] gives the pre-levelize vertex a
+// final vertex derives from (dummies inherit their chain head, matching
+// add_dummy's original_vertex inheritance); is_dummy flags them.
+// ---------------------------------------------------------------------------
+namespace {
+struct LevelizeResult {
+    std::vector<int32_t> level, src_old, adj_v;
+    std::vector<int8_t> is_dummy, adj_w;
+    std::vector<int64_t> adj_ptr, level_ptr;
+    int32_t max_width = 0;
+};
+LevelizeResult g_lv;
+}  // namespace
+
+int32_t dg_levelize_run(int64_t n0, const int64_t* adj_ptr,
+                        const int32_t* adj_v, const int8_t* adj_w) {
+    if (n0 == 0) return -1;
+    std::vector<int32_t> indeg(n0, 0);
+    for (int64_t e = 0; e < adj_ptr[n0]; e++) indeg[adj_v[e]]++;
+    int64_t source = -1;
+    for (int64_t v = 0; v < n0; v++) {
+        if (indeg[v] == 0 && adj_ptr[v + 1] > adj_ptr[v]) {
+            if (source == -1) source = v;
+            else return -2;  // multiple sources
+        }
+    }
+    if (source < 0) return -3;
+
+    // BFS distances
+    std::vector<int32_t> dist(n0, -1);
+    std::vector<int64_t> queue;
+    queue.reserve(n0);
+    dist[source] = 0;
+    queue.push_back(source);
+    for (size_t qi = 0; qi < queue.size(); qi++) {
+        int64_t u = queue[qi];
+        for (int64_t e = adj_ptr[u]; e < adj_ptr[u + 1]; e++) {
+            int32_t v = adj_v[e];
+            if (dist[v] == -1) {
+                dist[v] = dist[u] + 1;
+                queue.push_back(v);
+            }
+        }
+    }
+
+    // Kahn topo
+    std::vector<int32_t> indeg2(indeg);
+    std::vector<int64_t> topo;
+    topo.reserve(n0);
+    for (int64_t v = 0; v < n0; v++)
+        if (indeg2[v] == 0) topo.push_back(v);
+    for (size_t ti = 0; ti < topo.size(); ti++) {
+        int64_t u = topo[ti];
+        for (int64_t e = adj_ptr[u]; e < adj_ptr[u + 1]; e++)
+            if (--indeg2[adj_v[e]] == 0) topo.push_back(adj_v[e]);
+    }
+    if ((int64_t)topo.size() != n0) return -4;  // cycle
+
+    // level relaxation
+    std::vector<int32_t> lvl(n0, 0);
+    for (int64_t v = 0; v < n0; v++)
+        if (dist[v] >= 0) lvl[v] = dist[v];
+    for (int64_t u : topo)
+        for (int64_t e = adj_ptr[u]; e < adj_ptr[u + 1]; e++)
+            if (lvl[adj_v[e]] <= lvl[u]) lvl[adj_v[e]] = lvl[u] + 1;
+
+    // dummies: pre-count then fill
+    std::vector<int32_t> tmp_lvl(lvl);
+    std::vector<int32_t> src_old;
+    std::vector<int8_t> dummy_flag(n0, 0);
+    src_old.reserve(n0);
+    for (int64_t v = 0; v < n0; v++) src_old.push_back((int32_t)v);
+
+    struct Edge { int32_t u, v; int8_t w; };
+    std::vector<Edge> edges;
+    edges.reserve(adj_ptr[n0] * 2);
+    for (int64_t u = 0; u < n0; u++) {
+        for (int64_t e = adj_ptr[u]; e < adj_ptr[u + 1]; e++) {
+            int32_t v = adj_v[e];
+            int32_t gap = tmp_lvl[v] - tmp_lvl[u] - 1;
+            if (gap <= 0) {
+                edges.push_back({(int32_t)u, v, adj_w[e]});
+            } else {
+                int32_t prev = (int32_t)u;
+                for (int32_t step = 1; step <= gap; step++) {
+                    int32_t dummy = (int32_t)src_old.size();
+                    src_old.push_back((int32_t)u);
+                    dummy_flag.push_back(1);
+                    tmp_lvl.push_back(tmp_lvl[u] + step);
+                    edges.push_back({prev, dummy, (int8_t)(step == 1 ? adj_w[e] : 0)});
+                    prev = dummy;
+                }
+                edges.push_back({prev, v, 0});
+            }
+        }
+    }
+    const int64_t n1 = (int64_t)src_old.size();
+
+    // stable order by (level, id)
+    std::vector<int32_t> order(n1);
+    for (int64_t i = 0; i < n1; i++) order[i] = (int32_t)i;
+    std::stable_sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+        return tmp_lvl[a] != tmp_lvl[b] ? tmp_lvl[a] < tmp_lvl[b] : a < b;
+    });
+    std::vector<int32_t> new_id(n1);
+    for (int64_t i = 0; i < n1; i++) new_id[order[i]] = (int32_t)i;
+
+    g_lv.level.resize(n1);
+    g_lv.src_old.resize(n1);
+    g_lv.is_dummy.resize(n1);
+    for (int64_t i = 0; i < n1; i++) {
+        int32_t old = order[i];
+        g_lv.level[i] = tmp_lvl[old];
+        g_lv.src_old[i] = src_old[old];
+        g_lv.is_dummy[i] = dummy_flag[old];
+    }
+    // CSR of remapped edges, per-source order preserved
+    std::vector<int32_t> deg(n1, 0);
+    for (auto& e : edges) deg[new_id[e.u]]++;
+    g_lv.adj_ptr.assign(n1 + 1, 0);
+    for (int64_t i = 0; i < n1; i++) g_lv.adj_ptr[i + 1] = g_lv.adj_ptr[i] + deg[i];
+    g_lv.adj_v.resize(edges.size());
+    g_lv.adj_w.resize(edges.size());
+    {
+        std::vector<int64_t> fill(g_lv.adj_ptr.begin(), g_lv.adj_ptr.end() - 1);
+        // edges were generated in old-u order; per-source relative order is
+        // the original adjacency order, which is what the reference keeps
+        for (auto& e : edges) {
+            int32_t u = new_id[e.u];
+            g_lv.adj_v[fill[u]] = new_id[e.v];
+            g_lv.adj_w[fill[u]] = e.w;
+            fill[u]++;
+        }
+    }
+    int32_t max_level = 0;
+    for (int64_t i = 0; i < n1; i++) max_level = std::max(max_level, g_lv.level[i]);
+    g_lv.level_ptr.assign(max_level + 2, 0);
+    for (int64_t i = 0; i < n1; i++) g_lv.level_ptr[g_lv.level[i] + 1]++;
+    for (int32_t l = 0; l <= max_level; l++) g_lv.level_ptr[l + 1] += g_lv.level_ptr[l];
+    g_lv.max_width = 0;
+    for (int32_t l = 0; l <= max_level; l++)
+        g_lv.max_width = std::max(
+            g_lv.max_width, (int32_t)(g_lv.level_ptr[l + 1] - g_lv.level_ptr[l]));
+    return 0;
+}
+
+int64_t dg_levelize_n() { return (int64_t)g_lv.level.size(); }
+int64_t dg_levelize_ne() { return (int64_t)g_lv.adj_v.size(); }
+int64_t dg_levelize_nl() { return (int64_t)g_lv.level_ptr.size() - 1; }
+int32_t dg_levelize_maxwidth() { return g_lv.max_width; }
+
+void dg_levelize_fetch(int32_t* level, int32_t* src_old, int8_t* is_dummy,
+                       int64_t* out_adj_ptr, int32_t* out_adj_v,
+                       int8_t* out_adj_w, int64_t* out_level_ptr) {
+    memcpy(level, g_lv.level.data(), g_lv.level.size() * 4);
+    memcpy(src_old, g_lv.src_old.data(), g_lv.src_old.size() * 4);
+    memcpy(is_dummy, g_lv.is_dummy.data(), g_lv.is_dummy.size());
+    memcpy(out_adj_ptr, g_lv.adj_ptr.data(), g_lv.adj_ptr.size() * 8);
+    memcpy(out_adj_v, g_lv.adj_v.data(), g_lv.adj_v.size() * 4);
+    memcpy(out_adj_w, g_lv.adj_w.data(), g_lv.adj_w.size());
+    memcpy(out_level_ptr, g_lv.level_ptr.data(), g_lv.level_ptr.size() * 8);
+    LevelizeResult().level.swap(g_lv.level);  // release
+    g_lv = LevelizeResult();
 }
 
 // ---------------------------------------------------------------------------
