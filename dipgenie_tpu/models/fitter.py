@@ -188,10 +188,79 @@ def _grid_nll_numpy(
     return out
 
 
+def _grid_nll_jax(U, SD, VW, ZP, ZPH, PD, PE, SS, max_copy, xs, ys):
+    """Device (TPU) evaluation of the full grid NLL in float32.
+
+    Same factorization as the numpy path; the caller re-evaluates the
+    top-K candidates in exact float64, so f32 only needs to get the
+    *ranking neighbourhood* right. Runs as one jitted lax.map over the
+    (p_d, p_e, shape) slices."""
+    import jax
+    import jax.numpy as jnp
+
+    X = jnp.asarray(xs, jnp.float32)
+    Y = jnp.asarray(ys, jnp.float32)
+    copies = jnp.arange(1, max_copy + 1, dtype=jnp.float32)
+    inv_s2pi = 0.3989422804014327
+
+    def zeta(zps):
+        w = 1.0 / jnp.power(copies[None, :], jnp.asarray(zps, jnp.float32)[:, None])
+        return w / w.sum(axis=1, keepdims=True)
+
+    Uj = jnp.asarray(U, jnp.float32)
+    SDj = jnp.asarray(SD, jnp.float32)
+    VWj = jnp.asarray(VW, jnp.float32)
+    zw_hom = zeta(ZP)
+    zw_het = zeta(ZPH)
+
+    mu = Uj[:, None] * copies[None, :]
+    sdc = SDj[:, None] * jnp.sqrt(copies)[None, :]
+    z = (X[None, None, None, :] - mu[:, None, :, None]) / sdc[None, :, :, None]
+    pdf = inv_s2pi / sdc[None, :, :, None] * jnp.exp(-0.5 * z * z)
+    fhom = jnp.maximum(jnp.einsum("zc,uscx->uszx", zw_hom, pdf), 1e-35)
+
+    mu_h = (0.5 * Uj)[:, None] * copies[None, :]
+    sd_base = 0.5 * jnp.sqrt(jnp.maximum(VWj, 1e-12))
+    sdc_h = sd_base[:, None] * jnp.sqrt(copies)[None, :]
+    z = (X[None, None, None, :] - mu_h[:, None, :, None]) / sdc_h[None, :, :, None]
+    pdf = inv_s2pi / sdc_h[None, :, :, None] * jnp.exp(-0.5 * z * z)
+    fhet = jnp.maximum(jnp.einsum("zc,uvcx->uvzx", zw_het, pdf), 1e-35)
+
+    SSj = jnp.asarray(SS, jnp.float32)
+    ferr = jnp.power(X[None, :], -SSj[:, None]) - jnp.power(
+        X[None, :] + 1.0, -SSj[:, None]
+    )
+    ferr = jnp.where(ferr > 0.0, ferr, 1e-35)
+
+    combos = jnp.asarray(
+        [
+            (pd, pe, float(isx))
+            for pd in np.asarray(PD, np.float64)
+            for pe in np.asarray(PE, np.float64)
+            for isx in range(len(SS))
+        ],
+        jnp.float32,
+    )
+
+    def one(combo):
+        pd, pe, isx = combo[0], combo[1], combo[2].astype(jnp.int32)
+        b = (1.0 - pe) * pd * fhet[:, None, :, None, :, :]
+        c = (1.0 - pe) * (1.0 - pd) * fhom[:, :, None, :, None, :]
+        mix = pe * ferr[isx][None, None, None, None, None, :] + b + c
+        return -(jnp.log(mix + 1e-35) * Y[None, None, None, None, None, :]).sum(-1)
+
+    out = jax.lax.map(one, combos)  # [nPD*nPE*nSS, u, sd, vw, zp, zph]
+    out = out.reshape(len(PD), len(PE), len(SS), len(U), len(SD), len(VW),
+                      len(ZP), len(ZPH))
+    # reorder to [u, sd, vw, zp, zph, pd, pe, s] = loop order
+    return np.asarray(jnp.transpose(out, (3, 4, 5, 6, 7, 0, 1, 2)), np.float64)
+
+
 def fit_histogram(
     hist_pairs: list[tuple[int, float]],
     opt: KGFitOptions | None = None,
     exact_topk: int = 256,
+    backend: str = "numpy",
 ) -> KGFitResult:
     """Fit the 8-parameter mixture to a {multiplicity: freq} histogram.
 
@@ -272,7 +341,11 @@ def fit_histogram(
         )
         return KGFitResult(P, 0.0, valley, peak)
 
-    nll = _grid_nll_numpy(U, SD, VW, ZP, ZPH, PD, PE, SS, opt.max_copy, xs, ys)
+    if backend == "jax":
+        nll = _grid_nll_jax(U, SD, VW, ZP, ZPH, PD, PE, SS, opt.max_copy, xs, ys)
+        exact_topk = max(exact_topk, 2048)  # f32 ranking noise margin
+    else:
+        nll = _grid_nll_numpy(U, SD, VW, ZP, ZPH, PD, PE, SS, opt.max_copy, xs, ys)
     flat = nll.reshape(-1)
     k = min(exact_topk, flat.size)
     cand = np.argpartition(flat, k - 1)[:k] if k < flat.size else np.arange(flat.size)
