@@ -23,7 +23,17 @@ def _open_maybe_gz(fn: str):
 
 
 def read_fastx(fn: str) -> list[tuple[str, str]]:
-    """Read all records of a FASTA/FASTQ(.gz) file as (name, seq)."""
+    """Read all records of a FASTA/FASTQ(.gz) file as (name, seq).
+
+    Uses the native (C++/zlib) reader when available; the Python path
+    below is the reference fallback with identical output."""
+    try:
+        from .. import native
+
+        if native.available():
+            return native.read_fastx(fn)
+    except Exception:  # noqa: BLE001
+        pass
     out: list[tuple[str, str]] = []
     with _open_maybe_gz(fn) as fh:
         it = iter(fh)

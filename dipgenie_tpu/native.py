@@ -72,6 +72,12 @@ def get_lib():
     lib.dg_backtrack.argtypes = [
         ctypes.c_int64, ctypes.c_int32, c_i32p, c_i32p, ctypes.c_int32, c_i32p,
     ]
+    lib.dg_fastx_run.restype = ctypes.c_int64
+    lib.dg_fastx_run.argtypes = [ctypes.c_char_p]
+    lib.dg_fastx_names_len.restype = ctypes.c_int64
+    lib.dg_fastx_seqs_len.restype = ctypes.c_int64
+    lib.dg_fastx_fetch.restype = None
+    lib.dg_fastx_fetch.argtypes = [c_u8p, c_u8p, c_i64p, c_i64p]
     lib.dg_levelize_run.restype = ctypes.c_int32
     lib.dg_levelize_run.argtypes = [ctypes.c_int64, c_i64p, c_i32p, c_i8p]
     lib.dg_levelize_n.restype = ctypes.c_int64
@@ -101,6 +107,28 @@ def get_lib():
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def read_fastx(path: str):
+    """Native FASTA/FASTQ(.gz) reader; returns list of (name, seq)."""
+    lib = get_lib()
+    n = lib.dg_fastx_run(path.encode())
+    if n < 0:
+        raise OSError(f"cannot open {path}")
+    names = np.empty(max(lib.dg_fastx_names_len(), 1), np.uint8)
+    seqs = np.empty(max(lib.dg_fastx_seqs_len(), 1), np.uint8)
+    name_off = np.empty(n + 1, np.int64)
+    seq_off = np.empty(n + 1, np.int64)
+    lib.dg_fastx_fetch(names, seqs, name_off, seq_off)
+    nb = names.tobytes()
+    sb = seqs.tobytes()
+    return [
+        (
+            nb[name_off[i] : name_off[i + 1]].decode("latin-1"),
+            sb[seq_off[i] : seq_off[i + 1]].decode("latin-1"),
+        )
+        for i in range(n)
+    ]
 
 
 def sketch(seq_bytes: np.ndarray, k: int, w: int):

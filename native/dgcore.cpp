@@ -34,6 +34,9 @@
 #include <omp.h>
 #endif
 
+#include <string>
+#include <zlib.h>
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -778,6 +781,109 @@ void dg_std_sort3(const int64_t* k1, const int64_t* k2, const int64_t* k3,
         if (k2[a] != k2[b]) return k2[a] < k2[b];
         return k3[a] < k3[b];
     });
+}
+
+// ---------------------------------------------------------------------------
+// Streaming FASTA/FASTQ(.gz) reader — kseq equivalent (reference src/kseq.h,
+// used by read_ip_reads solver.cpp:230-245). Parses the whole file into
+// concatenated name / sequence blobs with offset tables; results live in
+// static storage between _run and _fetch (single-threaded usage).
+// ---------------------------------------------------------------------------
+namespace {
+struct FastxResult {
+    std::string names, seqs;
+    std::vector<int64_t> name_off{0}, seq_off{0};
+};
+FastxResult g_fx;
+}  // namespace
+
+int64_t dg_fastx_run(const char* path) {
+    g_fx = FastxResult();
+    gzFile fp = gzopen(path, "r");
+    if (!fp) return -1;
+    gzbuffer(fp, 1 << 20);
+    std::string line;
+    line.reserve(1 << 16);
+    char buf[1 << 16];
+    auto getline_gz = [&](std::string& out) -> bool {
+        out.clear();
+        while (true) {
+            if (gzgets(fp, buf, sizeof(buf)) == nullptr) return !out.empty();
+            out += buf;
+            if (!out.empty() && out.back() == '\n') {
+                out.pop_back();
+                if (!out.empty() && out.back() == '\r') out.pop_back();
+                return true;
+            }
+        }
+    };
+
+    std::string pending;
+    bool has_pending = false;
+    auto next_line = [&](std::string& out) -> bool {
+        if (has_pending) {
+            out = pending;
+            has_pending = false;
+            return true;
+        }
+        return getline_gz(out);
+    };
+
+    int64_t count = 0;
+    std::string l;
+    while (next_line(l)) {
+        if (l.empty()) continue;
+        if (l[0] == '@') {  // FASTQ record
+            size_t sp = l.find_first_of(" \t");
+            g_fx.names += l.substr(1, sp == std::string::npos ? l.size() - 1
+                                                              : sp - 1);
+            g_fx.name_off.push_back((int64_t)g_fx.names.size());
+            int64_t seq_len = 0;
+            std::string l2;
+            while (getline_gz(l2)) {
+                if (!l2.empty() && l2[0] == '+') {
+                    int64_t got = 0;  // skip quality of equal length
+                    while (got < seq_len && getline_gz(l2))
+                        got += (int64_t)l2.size();
+                    break;
+                }
+                g_fx.seqs += l2;
+                seq_len += (int64_t)l2.size();
+            }
+            g_fx.seq_off.push_back((int64_t)g_fx.seqs.size());
+            count++;
+        } else if (l[0] == '>') {  // FASTA record
+            size_t sp = l.find_first_of(" \t");
+            g_fx.names += l.substr(1, sp == std::string::npos ? l.size() - 1
+                                                              : sp - 1);
+            g_fx.name_off.push_back((int64_t)g_fx.names.size());
+            std::string l2;
+            while (getline_gz(l2)) {
+                if (!l2.empty() && (l2[0] == '>' || l2[0] == '@')) {
+                    pending = l2;
+                    has_pending = true;
+                    break;
+                }
+                g_fx.seqs += l2;
+            }
+            g_fx.seq_off.push_back((int64_t)g_fx.seqs.size());
+            count++;
+        }
+    }
+    gzclose(fp);
+    return count;
+}
+
+int64_t dg_fastx_names_len() { return (int64_t)g_fx.names.size(); }
+int64_t dg_fastx_seqs_len() { return (int64_t)g_fx.seqs.size(); }
+
+void dg_fastx_fetch(uint8_t* names, uint8_t* seqs, int64_t* name_off,
+                    int64_t* seq_off) {
+    memcpy(names, g_fx.names.data(), g_fx.names.size());
+    memcpy(seqs, g_fx.seqs.data(), g_fx.seqs.size());
+    memcpy(name_off, g_fx.name_off.data(), g_fx.name_off.size() * 8);
+    memcpy(seq_off, g_fx.seq_off.data(), g_fx.seq_off.size() * 8);
+    g_fx = FastxResult();
 }
 
 const char* dg_version() { return "dgcore 0.1"; }
