@@ -28,8 +28,6 @@ from functools import partial
 
 import numpy as np
 
-U32 = None  # set lazily
-
 
 def _jnp():
     import jax.numpy as jnp

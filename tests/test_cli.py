@@ -1,0 +1,46 @@
+"""CLI flag-surface smoke tests (reference main.cpp parity)."""
+
+import subprocess
+import sys
+
+from tests.conftest import ref_fixture
+
+TOY_DIP = ">sol_1 bp:19\nATCGAAAATACTTACCATG\n>sol_2 bp:19\nATCGATCATACGCATCATG\n"
+
+
+def _run(args):
+    return subprocess.run(
+        [sys.executable, "-m", "dipgenie_tpu", *args],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+
+
+def test_version():
+    r = _run(["--version"])
+    assert r.returncode == 0
+    assert "PHI version: 1.0" in r.stderr
+
+
+def test_usage_on_missing_args():
+    r = _run([])
+    assert r.returncode == 1
+
+
+def test_toy_diploid_via_cli(tmp_path):
+    gfa = ref_fixture("test.gfa")
+    reads = ref_fixture("read.fa")
+    out = tmp_path / "out.fa"
+    r = _run(["-t", "1", "-k", "5", "-w", "3", "-p", "2", "-R", "4",
+              "-g", gfa, "-r", reads, "-o", str(out)])
+    assert r.returncode == 0, r.stderr
+    assert out.read_text() == TOY_DIP
+    assert "Real time" in r.stderr
+
+
+def test_ilp_branch_parity_noop(tmp_path):
+    gfa = ref_fixture("test.gfa")
+    reads = ref_fixture("read.fa")
+    out = tmp_path / "out.fa"
+    r = _run(["-a", "1", "-g", gfa, "-r", reads, "-o", str(out)])
+    assert r.returncode == 0
+    assert not out.exists()  # reference -a1 without -DILP writes nothing
