@@ -44,6 +44,33 @@ def test_toy_diploid_byte_identical(tmp_path):
     assert "recombinations in P1: 1, recombinations in P2: 1" in log
 
 
+TOY2_HAP_GOLDEN = (
+    ">dp_sol LN:87\n"
+    "ACGTCATGCAGTCGTAACGTAGTCGTCACAGTCAGTCGTAGCTATGTAGCGTCAGTCAGTCAGTCGTAGCGTAACGTCGT\n"
+    "AGTCAGT\n"
+)
+TOY2_DIP_GOLDEN = (
+    ">sol_1 bp:87\n"
+    "ACGTCATGCAGTCGTAACGTAGTCGTCACAGTCAGTCGTAGCTAAGTAGCGTCAGTCAGTCAGTCGTAGCGTAACGTCGT\n"
+    "AGTCAGT\n"
+    ">sol_2 bp:87\n"
+    "ACGTCATGCAGTCGTAACGTAGTCGTCACAGTCAGTCGTAGCTATGTAGCGTCAGTCAGTCAGTCGTAGCGTAACGTCGT\n"
+    "AGTCAGT\n"
+)
+
+
+def test_toy2_haploid_and_diploid(tmp_path):
+    gfa = ref_fixture("test2.gfa")
+    reads = ref_fixture("read2.fa")
+    for ploidy, golden in ((1, TOY2_HAP_GOLDEN), (2, TOY2_DIP_GOLDEN)):
+        out = tmp_path / f"out{ploidy}.fa"
+        cfg = PipelineConfig(
+            k=5, w=3, recombination_limit=4, ploidy=ploidy, verbose=False
+        )
+        Pipeline(gfa, reads, str(out), cfg).run(out=io.StringIO())
+        assert out.read_text() == golden, f"ploidy {ploidy}"
+
+
 def test_toy_fit_params():
     """Fitted model params must match the reference run exactly."""
     gfa = ref_fixture("test.gfa")
