@@ -331,6 +331,73 @@ class ExpandedGraph:
         return max_width
 
 
+class _CsrList:
+    """List-of-lists view over CSR arrays (read-only)."""
+
+    def __init__(self, ptr, vals):
+        self.ptr = ptr
+        self.vals = vals
+
+    def __len__(self):
+        return len(self.ptr) - 1
+
+    def __getitem__(self, v):
+        if v < 0 or v >= len(self.ptr) - 1:
+            raise IndexError(v)
+        return self.vals[int(self.ptr[v]) : int(self.ptr[v + 1])].tolist()
+
+
+class _CsrAdjPairs:
+    """adj_list view returning [(v, w), ...] per vertex."""
+
+    def __init__(self, ptr, v, w):
+        self.ptr = ptr
+        self.v = v
+        self.w = w
+
+    def __len__(self):
+        return len(self.ptr) - 1
+
+    def __getitem__(self, u):
+        if u < 0 or u >= len(self.ptr) - 1:
+            raise IndexError(u)
+        s, e = int(self.ptr[u]), int(self.ptr[u + 1])
+        return list(zip(self.v[s:e].tolist(), self.w[s:e].tolist()))
+
+
+class CsrExpandedGraph:
+    """Topologically-reordered expanded graph backed by dense CSR arrays
+    (output of the native builder). Duck-types the ExpandedGraph surface
+    the haploid solver, levelizer and stitcher use."""
+
+    def __init__(self, adj_ptr, adj_v, adj_w, col_ptr, col_v,
+                 org_ptr, org_v, hap):
+        self.csr = (adj_ptr, adj_v, adj_w)
+        self.col_ptr = col_ptr
+        self.col_v = col_v
+        self.org_ptr = org_ptr
+        self.org_v = org_v
+        self.adj_list = _CsrAdjPairs(adj_ptr, adj_v, adj_w)
+        self.color = _CsrList(col_ptr, col_v)
+        self.original_vertex = _CsrList(org_ptr, org_v)
+        self.haplotype = hap
+        self.level: list[int] = []
+        self.vertices_in_level: list[list[int]] = []
+
+
+@dataclass
+class FlatAnchors:
+    """Per-hap post-sweep anchor tables as flat arrays: the fields of the
+    sorted AnchorRec lists the diploid stitcher consumes (startOrg,
+    endOrg, colours; approximator.cpp:1193-1246)."""
+
+    anc_ptr: "object"  # [nH+1] int64: per-hap anchor ranges
+    so: "object"  # [n_anchors] int32
+    eo: "object"  # [n_anchors] int32
+    cptr: "object"  # [n_anchors+1] int64: colour offsets
+    cv: "object"  # int32 colour values
+
+
 @dataclass
 class ExpandedBuild:
     """Result of build_expanded_graph: the graph plus side tables used by
@@ -338,9 +405,10 @@ class ExpandedBuild:
 
     graph: ExpandedGraph
     sink: int
-    anchors_by_hap: list[list[AnchorRec]]
+    anchors_by_hap: "list[list[AnchorRec]] | FlatAnchors"
     color_to_anchor: list[int]
     num_colors: int
+    reordered: bool = False  # True when the builder already Kahn-reordered
 
 
 def build_expanded_graph(
@@ -480,3 +548,82 @@ def build_expanded_graph(
         haplotype=vertex_to_hap,
     )
     return ExpandedBuild(g, sink, anchors_by_hap, color_to_anchor, colour_id)
+
+
+def flatten_hits(anchors: "AnchorData", num_walks: int):
+    """Flatten Python anchor_hits into the (sp asc, hap asc, emission
+    order) occurrence arrays the native builder consumes."""
+    import numpy as np
+
+    occ_sp: list[int] = []
+    occ_hap: list[int] = []
+    occ_ptr: list[int] = [0]
+    occ_v: list[int] = []
+    for a in range(anchors.count_sp_r):
+        hits = anchors.anchor_hits[a]
+        for h in range(num_walks):
+            for occ in hits[h]:
+                occ_sp.append(a)
+                occ_hap.append(h)
+                occ_v.extend(occ)
+                occ_ptr.append(len(occ_v))
+    return (
+        np.asarray(occ_sp, np.int32),
+        np.asarray(occ_hap, np.int32),
+        np.asarray(occ_ptr, np.int64),
+        np.asarray(occ_v, np.int32),
+    )
+
+
+def build_expanded_graph_native(
+    index: PangenomeIndex, anchors: "AnchorData"
+) -> ExpandedBuild:
+    """Native (dgcore) expanded-graph construction + Kahn reorder.
+
+    Same semantics as build_expanded_graph + topologically_reorder
+    (approximator.cpp:1017-1256, ExpandedGraph.hpp:29-102), returning a
+    CSR-backed graph and flat anchor tables. Consumes flat occurrence
+    arrays if the native anchor stage produced them, else flattens the
+    Python anchor_hits."""
+    import numpy as np
+
+    from .. import native
+
+    H = index.num_walks
+    if anchors.occ_sp is not None:
+        occ = (anchors.occ_sp, anchors.occ_hap, anchors.occ_ptr, anchors.occ_v)
+    else:
+        occ = flatten_hits(anchors, H)
+
+    path_ptr = np.zeros(H + 1, np.int64)
+    for h in range(H):
+        path_ptr[h + 1] = path_ptr[h] + len(index.paths[h])
+    path_v = (
+        np.concatenate(index.paths).astype(np.int32)
+        if H
+        else np.empty(0, np.int32)
+    )
+    n = index.n_vtx
+    odeg = np.fromiter((len(a) for a in index.adj_list), np.int64, n)
+    oadj_ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(odeg, out=oadj_ptr[1:])
+    oadj_v = (
+        np.concatenate(index.adj_list).astype(np.int32)
+        if n and oadj_ptr[-1]
+        else np.empty(0, np.int32)
+    )
+
+    out = native.build_expanded(n, path_ptr, path_v, oadj_ptr, oadj_v, *occ)
+    g = CsrExpandedGraph(
+        out["adj_ptr"], out["adj_v"], out["adj_w"],
+        out["col_ptr"], out["col_v"], out["org_ptr"], out["org_v"],
+        out["hap"],
+    )
+    flat = FlatAnchors(
+        out["anc_ptr"], out["anc_so"], out["anc_eo"],
+        out["anc_cptr"], out["anc_cv"],
+    )
+    return ExpandedBuild(
+        g, out["sink"], flat, out["color_to_anchor"].tolist(),
+        out["num_colors"], reordered=True,
+    )

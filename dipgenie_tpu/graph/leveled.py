@@ -85,12 +85,17 @@ class LeveledGraph:
         pre = self.pre
         n = len(self.src_old)
         chb = np.asarray(color_homo_bv, bool)
-        pcnt = np.asarray([len(c) for c in pre.color], np.int64)
-        pptr = np.zeros(len(pre.color) + 1, np.int64)
-        np.cumsum(pcnt, out=pptr[1:])
-        pvals = np.fromiter(
-            (c for cs in pre.color for c in cs), np.int64, int(pptr[-1])
-        )
+        if hasattr(pre, "col_ptr"):  # CsrExpandedGraph
+            pptr = np.asarray(pre.col_ptr, np.int64)
+            pvals = np.asarray(pre.col_v, np.int64)
+            pcnt = pptr[1:] - pptr[:-1]
+        else:
+            pcnt = np.asarray([len(c) for c in pre.color], np.int64)
+            pptr = np.zeros(len(pre.color) + 1, np.int64)
+            np.cumsum(pcnt, out=pptr[1:])
+            pvals = np.fromiter(
+                (c for cs in pre.color for c in cs), np.int64, int(pptr[-1])
+            )
         src = self.src_old.astype(np.int64)
         lens = np.where(self.is_dummy.astype(bool), 0, pcnt[src])
         total = int(lens.sum())
@@ -118,15 +123,21 @@ def levelize_native(g: ExpandedGraph) -> LeveledGraph:
 
     lib = native.get_lib()
     n = len(g.adj_list)
-    deg = np.fromiter((len(a) for a in g.adj_list), np.int64, n)
-    adj_ptr = np.zeros(n + 1, np.int64)
-    np.cumsum(deg, out=adj_ptr[1:])
-    ne = int(adj_ptr[-1])
-    flat = np.fromiter(
-        (x for a in g.adj_list for vw in a for x in vw), np.int64, 2 * ne
-    )
-    adj_v = np.ascontiguousarray(flat[0::2], np.int32)
-    adj_w = np.ascontiguousarray(flat[1::2], np.int8)
+    if hasattr(g, "csr"):  # CsrExpandedGraph: arrays already dense
+        adj_ptr, adj_v, adj_w = g.csr
+        adj_ptr = np.ascontiguousarray(adj_ptr, np.int64)
+        adj_v = np.ascontiguousarray(adj_v, np.int32)
+        adj_w = np.ascontiguousarray(adj_w, np.int8)
+    else:
+        deg = np.fromiter((len(a) for a in g.adj_list), np.int64, n)
+        adj_ptr = np.zeros(n + 1, np.int64)
+        np.cumsum(deg, out=adj_ptr[1:])
+        ne = int(adj_ptr[-1])
+        flat = np.fromiter(
+            (x for a in g.adj_list for vw in a for x in vw), np.int64, 2 * ne
+        )
+        adj_v = np.ascontiguousarray(flat[0::2], np.int32)
+        adj_w = np.ascontiguousarray(flat[1::2], np.int8)
     rc = lib.dg_levelize_run(n, adj_ptr, adj_v, adj_w)
     if rc == -2:
         raise SystemExit("Uh oh, multiple potential sources found while leveling")

@@ -90,6 +90,41 @@ def get_lib():
     ]
     lib.dg_std_sort3.restype = None
     lib.dg_std_sort3.argtypes = [c_i64p, c_i64p, c_i64p, c_i32p, ctypes.c_int64]
+    lib.dg_anchor_run.restype = ctypes.c_int32
+    lib.dg_anchor_run.argtypes = [
+        ctypes.c_int64, ctypes.c_int32,
+        c_i64p, c_u64p, c_i64p,  # per-hap minimizers
+        c_u64p, ctypes.c_int64,  # spectrum
+        c_i64p, c_i32p,  # paths
+        c_i64p, c_i64p,  # node_len, top_order_map
+        ctypes.c_int32, ctypes.c_double,
+    ]
+    lib.dg_anchor_nocc.restype = ctypes.c_int64
+    lib.dg_anchor_nv.restype = ctypes.c_int64
+    lib.dg_anchor_nfiltered.restype = ctypes.c_int64
+    lib.dg_anchor_fetch.restype = None
+    lib.dg_anchor_fetch.argtypes = [c_i32p, c_i32p, c_i64p, c_i32p, c_i64p]
+    lib.dg_build_run.restype = ctypes.c_int32
+    lib.dg_build_run.argtypes = [
+        ctypes.c_int64, ctypes.c_int32,
+        c_i64p, c_i32p,  # paths
+        c_i64p, c_i32p,  # original adjacency CSR
+        ctypes.c_int64, c_i32p, c_i32p, c_i64p, c_i32p,  # occurrences
+    ]
+    for nm in ("dg_build_n", "dg_build_ne", "dg_build_ncol", "dg_build_norg",
+               "dg_build_sink", "dg_build_nanc", "dg_build_nancv",
+               "dg_build_ncta"):
+        getattr(lib, nm).restype = ctypes.c_int64
+    lib.dg_build_ncolors.restype = ctypes.c_int32
+    lib.dg_build_fetch.restype = None
+    lib.dg_build_fetch.argtypes = [
+        c_i64p, c_i32p, c_i8p,  # adj CSR
+        c_i64p, c_i32p,  # colors CSR
+        c_i64p, c_i32p,  # original vertices CSR
+        c_i32p,  # haplotype
+        c_i32p,  # color_to_anchor
+        c_i64p, c_i32p, c_i32p, c_i64p, c_i32p,  # anchors per hap
+    ]
     lib.dg_diploid_dp.restype = ctypes.c_int32
     lib.dg_diploid_dp.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
@@ -185,6 +220,110 @@ def backtrack(bv, br, r: int):
         np.ascontiguousarray(br.reshape(-1)), r, out,
     )
     return out[:ln][::-1].copy()
+
+
+def anchor_stage(min_ptr, min_hash, min_pos, sp_hashes, path_ptr, path_v,
+                 node_len, top_order_map, k: int, threshold: float):
+    """Native anchor join + chains + filter + sort (solver.cpp:563-663).
+
+    Returns flat occurrence arrays ordered (spectrum id asc, hap asc,
+    emission order): (occ_sp, occ_hap, occ_ptr, occ_v, hap_counts,
+    n_filtered)."""
+    lib = get_lib()
+    nH = len(min_ptr) - 1
+    n_vtx = len(node_len)
+    rc = lib.dg_anchor_run(
+        n_vtx, nH,
+        np.ascontiguousarray(min_ptr, np.int64),
+        np.ascontiguousarray(min_hash, np.uint64),
+        np.ascontiguousarray(min_pos, np.int64),
+        np.ascontiguousarray(sp_hashes, np.uint64), len(sp_hashes),
+        np.ascontiguousarray(path_ptr, np.int64),
+        np.ascontiguousarray(path_v, np.int32),
+        np.ascontiguousarray(node_len, np.int64),
+        np.ascontiguousarray(top_order_map, np.int64),
+        k, threshold,
+    )
+    if rc != 0:
+        raise RuntimeError(f"dg_anchor_run failed rc={rc}")
+    nocc = lib.dg_anchor_nocc()
+    nv = lib.dg_anchor_nv()
+    n_filtered = int(lib.dg_anchor_nfiltered())
+    occ_sp = np.empty(max(nocc, 1), np.int32)
+    occ_hap = np.empty(max(nocc, 1), np.int32)
+    occ_ptr = np.empty(nocc + 1, np.int64)
+    occ_v = np.empty(max(nv, 1), np.int32)
+    hap_counts = np.empty(max(nH, 1), np.int64)
+    lib.dg_anchor_fetch(occ_sp, occ_hap, occ_ptr, occ_v, hap_counts)
+    return (occ_sp[:nocc], occ_hap[:nocc], occ_ptr, occ_v[:nv],
+            hap_counts[:nH], n_filtered)
+
+
+def build_expanded(n_vtx, path_ptr, path_v, oadj_ptr, oadj_v,
+                   occ_sp, occ_hap, occ_ptr, occ_v):
+    """Native expanded-graph construction + Kahn reorder
+    (approximator.cpp:1017-1246, ExpandedGraph.hpp:29-102).
+
+    Returns a dict of CSR arrays: adjacency, colours, original vertices,
+    haplotype, sink, num_colors, color_to_anchor and the per-hap
+    post-sweep anchor tables."""
+    lib = get_lib()
+    nH = len(path_ptr) - 1
+    n_occ = len(occ_sp)
+    rc = lib.dg_build_run(
+        n_vtx, nH,
+        np.ascontiguousarray(path_ptr, np.int64),
+        np.ascontiguousarray(path_v, np.int32),
+        np.ascontiguousarray(oadj_ptr, np.int64),
+        np.ascontiguousarray(oadj_v, np.int32),
+        n_occ,
+        np.ascontiguousarray(occ_sp, np.int32),
+        np.ascontiguousarray(occ_hap, np.int32),
+        np.ascontiguousarray(occ_ptr, np.int64),
+        np.ascontiguousarray(occ_v, np.int32),
+    )
+    if rc != 0:
+        raise RuntimeError(f"dg_build_run failed rc={rc}")
+    n = lib.dg_build_n()
+    ne = lib.dg_build_ne()
+    ncol = lib.dg_build_ncol()
+    norg = lib.dg_build_norg()
+    nanc = lib.dg_build_nanc()
+    nancv = lib.dg_build_nancv()
+    ncta = lib.dg_build_ncta()
+    out = {
+        "adj_ptr": np.empty(n + 1, np.int64),
+        "adj_v": np.empty(max(ne, 1), np.int32),
+        "adj_w": np.empty(max(ne, 1), np.int8),
+        "col_ptr": np.empty(n + 1, np.int64),
+        "col_v": np.empty(max(ncol, 1), np.int32),
+        "org_ptr": np.empty(n + 1, np.int64),
+        "org_v": np.empty(max(norg, 1), np.int32),
+        "hap": np.empty(max(n, 1), np.int32),
+        "color_to_anchor": np.empty(max(ncta, 1), np.int32),
+        "anc_ptr": np.empty(nH + 1, np.int64),
+        "anc_so": np.empty(max(nanc, 1), np.int32),
+        "anc_eo": np.empty(max(nanc, 1), np.int32),
+        "anc_cptr": np.empty(nanc + 1, np.int64),
+        "anc_cv": np.empty(max(nancv, 1), np.int32),
+    }
+    out["sink"] = int(lib.dg_build_sink())
+    out["num_colors"] = int(lib.dg_build_ncolors())
+    lib.dg_build_fetch(
+        out["adj_ptr"], out["adj_v"], out["adj_w"],
+        out["col_ptr"], out["col_v"], out["org_ptr"], out["org_v"],
+        out["hap"], out["color_to_anchor"], out["anc_ptr"],
+        out["anc_so"], out["anc_eo"], out["anc_cptr"], out["anc_cv"],
+    )
+    out["adj_v"] = out["adj_v"][:ne]
+    out["adj_w"] = out["adj_w"][:ne]
+    out["col_v"] = out["col_v"][:ncol]
+    out["org_v"] = out["org_v"][:norg]
+    out["color_to_anchor"] = out["color_to_anchor"][:ncta]
+    out["anc_so"] = out["anc_so"][:nanc]
+    out["anc_eo"] = out["anc_eo"][:nanc]
+    out["anc_cv"] = out["anc_cv"][:nancv]
+    return out
 
 
 def diploid_dp(level_ptr, adj_ptr, adj_v, adj_w, hom_ptr, hom_colors,

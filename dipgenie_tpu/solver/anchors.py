@@ -47,6 +47,13 @@ class AnchorData:
     multiplicity: np.ndarray | None = None  # [S] int64 (#reads per hash)
     fit: KGFitResult | None = None
     hap_minimizer_counts: list[int] = field(default_factory=list)
+    # flat occurrence arrays (native anchor stage): ordered
+    # (spectrum id asc, hap asc, emission order); consumed directly by
+    # the native expanded-graph builder.
+    occ_sp: np.ndarray | None = None
+    occ_hap: np.ndarray | None = None
+    occ_ptr: np.ndarray | None = None
+    occ_v: np.ndarray | None = None
 
 
 def _hap_anchor_chains(
@@ -143,6 +150,51 @@ def compute_and_classify_anchors(
             f"Indexed reads with spectrum size: {S}",
         )
 
+    # 4-6) native fast path: join + chains + filter + sort in dgcore,
+    # emitting flat occurrence arrays (identical semantics and tie order
+    # to the Python path below; validated in tests)
+    native_ok = False
+    if sketch_backend != "python":
+        from .. import native as _nat
+
+        native_ok = _nat.available()
+    if native_ok:
+        min_ptr = np.zeros(H + 1, np.int64)
+        for h in range(H):
+            min_ptr[h + 1] = min_ptr[h] + len(hap_minis[h].hashes)
+        min_hash = (
+            np.concatenate([m.hashes for m in hap_minis]).astype(np.uint64)
+            if H
+            else np.empty(0, np.uint64)
+        )
+        min_pos = (
+            np.concatenate([m.positions for m in hap_minis]).astype(np.int64)
+            if H
+            else np.empty(0, np.int64)
+        )
+        path_ptr = np.zeros(H + 1, np.int64)
+        for h in range(H):
+            path_ptr[h + 1] = path_ptr[h] + len(index.paths[h])
+        path_v = (
+            np.concatenate(index.paths).astype(np.int32)
+            if H
+            else np.empty(0, np.int32)
+        )
+        (data.occ_sp, data.occ_hap, data.occ_ptr, data.occ_v,
+         hap_counts, _nfilt) = _nat.anchor_stage(
+            min_ptr, min_hash, min_pos, sp_hashes, path_ptr, path_v,
+            index.node_len, index.top_order_map, k, threshold,
+        )
+        if verbose:
+            print("Number of Anchors", file=sys.stderr)
+            for h in range(H):
+                print(
+                    f"{index.hap_id2name[h]} : {int(hap_counts[h])}",
+                    file=sys.stderr,
+                )
+        _classify(data, read_hashes, sp_hashes, S, verbose)
+        return data
+
     # 4) per-hap hash join (emission order per hap, solver.cpp:563-575)
     anchor_hits: list[list[list[Chain]]] = [[[] for _ in range(H)] for _ in range(S)]
     for h in range(H):
@@ -201,6 +253,29 @@ def compute_and_classify_anchors(
             loc = sum(len(anchor_hits[r][h]) for r in range(S))
             print(f"{index.hap_id2name[h]} : {loc}", file=sys.stderr)
 
+    _classify(data, read_hashes, sp_hashes, S, verbose)
+    return data
+
+
+def materialize_hits(data: AnchorData, H: int) -> list[list[list[Chain]]]:
+    """Reconstruct the Python anchor_hits structure from the flat
+    occurrence arrays (native anchor stage output). The flat arrays are
+    already filtered and sorted, so this is a pure reshape."""
+    S = data.count_sp_r
+    hits: list[list[list[Chain]]] = [[[] for _ in range(H)] for _ in range(S)]
+    sp = data.occ_sp.tolist()
+    hap = data.occ_hap.tolist()
+    ptr = data.occ_ptr.tolist()
+    vals = data.occ_v.tolist()
+    for i, (a, h) in enumerate(zip(sp, hap)):
+        hits[a][h].append(tuple(vals[ptr[i] : ptr[i + 1]]))
+    return hits
+
+
+def _classify(data: AnchorData, read_hashes, sp_hashes, S: int,
+              verbose: bool) -> None:
+    """Histogram + mixture fit + HOM/HET classification
+    (solver.cpp:711-887)."""
     # 7) multiplicity histogram: #reads containing each hash
     mult_per_hash = np.zeros(S, np.int64)
     for rh in read_hashes:
@@ -245,4 +320,3 @@ def compute_and_classify_anchors(
             f"Total kmers: {count_homo+count_het}",
             file=sys.stderr,
         )
-    return data

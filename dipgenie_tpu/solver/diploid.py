@@ -321,18 +321,32 @@ def diploid_dp_solver(
     anc_eo: list[_np.ndarray] = []
     anc_cptr: list[_np.ndarray] = []
     anc_cvals: list[_np.ndarray] = []
-    for vec in anchors_by_hap:
-        anc_so.append(_np.asarray([a.startOrg for a in vec], _np.int64))
-        anc_eo.append(_np.asarray([a.endOrg for a in vec], _np.int64))
-        cp = _np.zeros(len(vec) + 1, _np.int64)
-        for ai, a in enumerate(vec):
-            cp[ai + 1] = cp[ai] + len(a.colours)
-        anc_cptr.append(cp)
-        anc_cvals.append(
-            _np.fromiter(
-                (c for a in vec for c in a.colours), _np.int64, int(cp[-1])
+    from ..graph.expanded import FlatAnchors
+
+    if isinstance(anchors_by_hap, FlatAnchors):
+        fa = anchors_by_hap
+        for h in range(len(fa.anc_ptr) - 1):
+            a0, a1 = int(fa.anc_ptr[h]), int(fa.anc_ptr[h + 1])
+            anc_so.append(fa.so[a0:a1].astype(_np.int64))
+            anc_eo.append(fa.eo[a0:a1].astype(_np.int64))
+            cp = fa.cptr[a0 : a1 + 1].astype(_np.int64)
+            anc_cptr.append(cp - cp[0])
+            anc_cvals.append(
+                fa.cv[int(cp[0]) : int(cp[-1])].astype(_np.int64)
             )
-        )
+    else:
+        for vec in anchors_by_hap:
+            anc_so.append(_np.asarray([a.startOrg for a in vec], _np.int64))
+            anc_eo.append(_np.asarray([a.endOrg for a in vec], _np.int64))
+            cp = _np.zeros(len(vec) + 1, _np.int64)
+            for ai, a in enumerate(vec):
+                cp[ai + 1] = cp[ai] + len(a.colours)
+            anc_cptr.append(cp)
+            anc_cvals.append(
+                _np.fromiter(
+                    (c for a in vec for c in a.colours), _np.int64, int(cp[-1])
+                )
+            )
 
     def recover(weighted_edges: list[tuple[int, int]], tag: str):
         color_freq: dict[int, int] = {}

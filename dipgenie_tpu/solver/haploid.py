@@ -63,19 +63,24 @@ def _forward_native(g: ExpandedGraph, R: int):
     from .. import native
 
     n = len(g.adj_list)
-    deg = np.asarray([len(a) for a in g.adj_list], np.int64)
-    adj_ptr = np.zeros(n + 1, np.int64)
-    np.cumsum(deg, out=adj_ptr[1:])
-    ne = int(adj_ptr[-1])
-    adj_v = np.empty(ne, np.int32)
-    adj_w = np.empty(ne, np.int8)
-    pos = 0
-    for u in range(n):
-        for v, w in g.adj_list[u]:
-            adj_v[pos] = v
-            adj_w[pos] = w
-            pos += 1
-    csize = np.asarray([len(c) for c in g.color], np.int64)
+    if hasattr(g, "csr"):  # CsrExpandedGraph
+        adj_ptr, adj_v, adj_w = g.csr
+        cp = np.asarray(g.col_ptr, np.int64)
+        csize = cp[1:] - cp[:-1]
+    else:
+        deg = np.asarray([len(a) for a in g.adj_list], np.int64)
+        adj_ptr = np.zeros(n + 1, np.int64)
+        np.cumsum(deg, out=adj_ptr[1:])
+        ne = int(adj_ptr[-1])
+        adj_v = np.empty(ne, np.int32)
+        adj_w = np.empty(ne, np.int8)
+        pos = 0
+        for u in range(n):
+            for v, w in g.adj_list[u]:
+                adj_v[pos] = v
+                adj_w[pos] = w
+                pos += 1
+        csize = np.asarray([len(c) for c in g.color], np.int64)
     _dp, bv, br = native.haploid_dp(adj_ptr, adj_v, adj_w, csize, R)
     return bv.astype(np.int64), br.astype(np.int64)
 
@@ -94,12 +99,16 @@ def dp_approximation_solver(g: ExpandedGraph, R: int, out=sys.stdout) -> list[in
         back_vtx, back_r = _forward_numpy(g, R)
 
     # per-r backtrack (approximator.cpp:74-102), vectorized colour counting
-    cptr = np.zeros(n + 1, np.int64)
-    for v in range(n):
-        cptr[v + 1] = cptr[v] + len(g.color[v])
-    cvals = np.fromiter(
-        (c for cs in g.color for c in cs), np.int64, int(cptr[-1])
-    )
+    if hasattr(g, "col_ptr"):  # CsrExpandedGraph
+        cptr = np.asarray(g.col_ptr, np.int64)
+        cvals = np.asarray(g.col_v, np.int64)
+    else:
+        cptr = np.zeros(n + 1, np.int64)
+        for v in range(n):
+            cptr[v + 1] = cptr[v] + len(g.color[v])
+        cvals = np.fromiter(
+            (c for cs in g.color for c in cs), np.int64, int(cptr[-1])
+        )
 
     def backtrack_path(r: int) -> np.ndarray:
         path = []

@@ -82,9 +82,29 @@ class Pipeline:
 
     def solve(self, diploid: bool, out=sys.stdout) -> None:
         cfg = self.cfg
-        build = build_expanded_graph(self.index, self.anchors)
-        g = build.graph
-        g.topologically_reorder(build.sink)
+        from .. import native as _native
+
+        backend = cfg.dp_backend
+        if backend == "auto":
+            backend = "native" if _native.available() else "exact"
+        # native C++ builder (construction + Kahn reorder fused) unless the
+        # exact tier was requested, which exercises the Python graph path
+        use_native_build = _native.available() and backend in ("native", "jax")
+        if use_native_build:
+            from ..graph.expanded import build_expanded_graph_native
+
+            build = build_expanded_graph_native(self.index, self.anchors)
+            g = build.graph
+        else:
+            if self.anchors.occ_sp is not None and not self.anchors.anchor_hits:
+                from ..solver.anchors import materialize_hits
+
+                self.anchors.anchor_hits = materialize_hits(
+                    self.anchors, self.index.num_walks
+                )
+            build = build_expanded_graph(self.index, self.anchors)
+            g = build.graph
+            g.topologically_reorder(build.sink)
 
         if not diploid:
             dp_path = dp_approximation_solver(g, cfg.recombination_limit, out=out)
@@ -95,11 +115,6 @@ class Pipeline:
             for c in range(build.num_colors):
                 if self.anchors.homo_bv[build.color_to_anchor[c]]:
                     color_homo_bv[c] = True
-            backend = cfg.dp_backend
-            from .. import native as _native
-
-            if backend == "auto":
-                backend = "native" if _native.available() else "exact"
             if backend in ("native", "jax") and _native.available():
                 # C++ levelizer + CSR view (no Python list rebuild)
                 from ..graph.leveled import levelize_native

@@ -886,6 +886,459 @@ void dg_fastx_fetch(uint8_t* names, uint8_t* seqs, int64_t* name_off,
     g_fx = FastxResult();
 }
 
+// ---------------------------------------------------------------------------
+// Anchor stage (solver.cpp:563-663 semantics): per-haplotype hash join of
+// minimizers against the read spectrum, vertex-chain construction
+// (solver.cpp:336-358), the uninformativeness filter (solver.cpp:590-633)
+// and the (first,last) occurrence sort (solver.cpp:641-663). Emits flat
+// occurrence arrays ordered (spectrum id asc, hap asc, emission order) —
+// exactly the iteration order of the reference's Anchor_hits loops — so
+// the expanded-graph builder below can consume them directly.
+// ---------------------------------------------------------------------------
+namespace {
+struct AnchorStage {
+    std::vector<int32_t> occ_sp, occ_hap, occ_v;
+    std::vector<int64_t> occ_ptr;
+    std::vector<int64_t> hap_counts;
+    int64_t n_filtered = 0;
+};
+AnchorStage g_anc;
+}  // namespace
+
+int32_t dg_anchor_run(
+    int64_t n_vtx, int32_t nH,
+    const int64_t* min_ptr, const uint64_t* min_hash, const int64_t* min_pos,
+    const uint64_t* sp_hashes, int64_t S,
+    const int64_t* path_ptr, const int32_t* path_v,
+    const int64_t* node_len, const int64_t* tom,
+    int32_t k, double threshold) {
+    g_anc = AnchorStage();
+    g_anc.hap_counts.assign(nH, 0);
+
+    struct Occ {
+        int32_t sp, hap;
+        std::vector<int32_t> chain;
+    };
+    std::vector<Occ> occs;
+
+    std::vector<int64_t> cum;
+    std::vector<int32_t> chain;
+    for (int32_t h = 0; h < nH; h++) {
+        const int64_t plen = path_ptr[h + 1] - path_ptr[h];
+        const int32_t* pv = path_v + path_ptr[h];
+        cum.assign(plen + 1, 0);
+        for (int64_t i = 0; i < plen; i++)
+            cum[i + 1] = cum[i] + node_len[pv[i]];
+        for (int64_t m = min_ptr[h]; m < min_ptr[h + 1]; m++) {
+            const uint64_t hh = min_hash[m];
+            const uint64_t* it =
+                std::lower_bound(sp_hashes, sp_hashes + S, hh);
+            if (it == sp_hashes + S || *it != hh) continue;
+            const int32_t sp = (int32_t)(it - sp_hashes);
+            const int64_t pos = min_pos[m];
+            // path step containing base offset pos / pos+k-1
+            // (upper_bound(cum, x) - 1 over starts; matches np.repeat map)
+            auto step_of = [&](int64_t x) {
+                return (int64_t)(std::upper_bound(cum.begin(), cum.end(), x) -
+                                 cum.begin()) - 1;
+            };
+            const int64_t t0 = step_of(pos);
+            const int64_t t1 = step_of(pos + k - 1);
+            chain.clear();
+            for (int64_t t = t0; t <= t1; t++) {
+                int32_t v = pv[t];
+                bool seen = false;
+                for (int32_t c : chain)
+                    if (c == v) { seen = true; break; }
+                if (!seen) chain.push_back(v);
+            }
+            std::sort(chain.begin(), chain.end(),
+                      [&](int32_t a, int32_t b) { return tom[a] < tom[b]; });
+            occs.push_back({sp, h, chain});
+        }
+    }
+
+    // group by spectrum id, keeping (hap asc, emission) inside each group
+    std::vector<int64_t> order(occs.size());
+    for (size_t i = 0; i < order.size(); i++) order[i] = (int64_t)i;
+    std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+        return occs[a].sp < occs[b].sp;
+    });
+
+    const double cutoff = threshold * (double)nH;
+    g_anc.occ_ptr.push_back(0);
+    size_t gi = 0;
+    while (gi < order.size()) {
+        size_t ge = gi;
+        const int32_t sp = occs[order[gi]].sp;
+        while (ge < order.size() && occs[order[ge]].sp == sp) ge++;
+        // uninformativeness filter: any identical chain >= threshold*H times
+        bool drop = false;
+        for (size_t a = gi; a < ge && !drop; a++) {
+            int32_t cnt = 0;
+            for (size_t b = gi; b < ge; b++)
+                if (occs[order[b]].chain == occs[order[a]].chain) cnt++;
+            if ((double)cnt >= cutoff) drop = true;
+        }
+        if (drop) {
+            g_anc.n_filtered++;
+            gi = ge;
+            continue;
+        }
+        // per-hap std::sort by (empty-last, first, last); introsort tie
+        // order matches the reference (and the Python stdsort oracle)
+        size_t hi = gi;
+        while (hi < ge) {
+            size_t he = hi;
+            const int32_t hap = occs[order[hi]].hap;
+            while (he < ge && occs[order[he]].hap == hap) he++;
+            std::sort(order.begin() + hi, order.begin() + he,
+                      [&](int64_t a, int64_t b) {
+                          const auto& ca = occs[a].chain;
+                          const auto& cb = occs[b].chain;
+                          const int64_t e_a = ca.empty(), e_b = cb.empty();
+                          if (e_a != e_b) return e_a < e_b;
+                          const int64_t f_a = ca.empty() ? 0 : ca.front();
+                          const int64_t f_b = cb.empty() ? 0 : cb.front();
+                          if (f_a != f_b) return f_a < f_b;
+                          const int64_t l_a = ca.empty() ? 0 : ca.back();
+                          const int64_t l_b = cb.empty() ? 0 : cb.back();
+                          return l_a < l_b;
+                      });
+            hi = he;
+        }
+        for (size_t a = gi; a < ge; a++) {
+            const Occ& o = occs[order[a]];
+            g_anc.occ_sp.push_back(o.sp);
+            g_anc.occ_hap.push_back(o.hap);
+            g_anc.occ_v.insert(g_anc.occ_v.end(), o.chain.begin(),
+                               o.chain.end());
+            g_anc.occ_ptr.push_back((int64_t)g_anc.occ_v.size());
+            g_anc.hap_counts[o.hap]++;
+        }
+        gi = ge;
+    }
+    (void)n_vtx;
+    return 0;
+}
+
+int64_t dg_anchor_nocc() { return (int64_t)g_anc.occ_sp.size(); }
+int64_t dg_anchor_nv() { return (int64_t)g_anc.occ_v.size(); }
+int64_t dg_anchor_nfiltered() { return g_anc.n_filtered; }
+
+void dg_anchor_fetch(int32_t* occ_sp, int32_t* occ_hap, int64_t* occ_ptr,
+                     int32_t* occ_v, int64_t* hap_counts) {
+    memcpy(occ_sp, g_anc.occ_sp.data(), g_anc.occ_sp.size() * 4);
+    memcpy(occ_hap, g_anc.occ_hap.data(), g_anc.occ_hap.size() * 4);
+    memcpy(occ_ptr, g_anc.occ_ptr.data(), g_anc.occ_ptr.size() * 8);
+    memcpy(occ_v, g_anc.occ_v.data(), g_anc.occ_v.size() * 4);
+    memcpy(hap_counts, g_anc.hap_counts.data(), g_anc.hap_counts.size() * 8);
+    g_anc = AnchorStage();
+}
+
+// ---------------------------------------------------------------------------
+// Expanded-graph construction + Kahn topological reorder
+// (Approximator::solve steps, approximator.cpp:1017-1246, and
+// ExpandedGraph::topologically_reorder, ExpandedGraph.hpp:29-102).
+//
+// Consumes the flat occurrence arrays from dg_anchor_run (or flattened
+// Python anchor_hits): (sp asc, hap asc, emission order). Produces the
+// reordered graph as CSR plus the per-hap post-sweep anchor tables the
+// diploid stitcher needs (startOrg, endOrg, colours).
+// ---------------------------------------------------------------------------
+namespace {
+struct BuildResult {
+    std::vector<int64_t> adj_ptr;
+    std::vector<int32_t> adj_v;
+    std::vector<int8_t> adj_w;
+    std::vector<int64_t> col_ptr, org_ptr;
+    std::vector<int32_t> col_v, org_v;
+    std::vector<int32_t> hap;
+    std::vector<int32_t> color_to_anchor;
+    std::vector<int64_t> anc_ptr;  // per-hap anchor offsets [nH+1]
+    std::vector<int32_t> anc_so, anc_eo;
+    std::vector<int64_t> anc_cptr;
+    std::vector<int32_t> anc_cv;
+    int64_t sink = -1;
+    int32_t num_colors = 0;
+};
+BuildResult g_bd;
+}  // namespace
+
+int32_t dg_build_run(
+    int64_t n_vtx, int32_t nH,
+    const int64_t* path_ptr, const int32_t* path_v,
+    const int64_t* oadj_ptr, const int32_t* oadj_v,
+    int64_t n_occ, const int32_t* occ_sp, const int32_t* occ_hap,
+    const int64_t* occ_ptr, const int32_t* occ_v) {
+    g_bd = BuildResult();
+
+    typedef std::pair<int32_t, int8_t> E;
+    const int64_t NV = path_ptr[nH];
+    std::vector<std::vector<E>> adj(2 + NV);
+    // vertex_to_expanded[v*nH + h]
+    std::vector<int32_t> v2e((size_t)n_vtx * nH, -1);
+    std::vector<std::vector<int32_t>> e2o(2 + NV);
+    std::vector<int32_t> v2h(2 + NV, 0);
+    const int32_t sink = (int32_t)(1 + NV);
+
+    // per-hap chains + source/sink (approximator.cpp:1029-1049)
+    int32_t cur = 1;
+    for (int32_t h = 0; h < nH; h++) {
+        adj[0].push_back({cur, 0});
+        const int64_t plen = path_ptr[h + 1] - path_ptr[h];
+        const int32_t* pv = path_v + path_ptr[h];
+        for (int64_t i = 0; i < plen; i++) {
+            const int32_t v = pv[i];
+            v2e[(size_t)v * nH + h] = cur;
+            e2o[cur].push_back(v);
+            v2h[cur] = h;
+            if (i < plen - 1)
+                adj[cur].push_back({cur + 1, 0});
+            else
+                adj[cur].push_back({sink, 0});
+            cur++;
+        }
+    }
+
+    // recombination w-vertices (approximator.cpp:1051-1095)
+    std::vector<int32_t> w_id(oadj_ptr[n_vtx], -1);
+    cur = (int32_t)adj.size();
+    for (int32_t h = 0; h < nH; h++) {
+        const int64_t plen = path_ptr[h + 1] - path_ptr[h];
+        const int32_t* pv = path_v + path_ptr[h];
+        for (int64_t i = 0; i < plen; i++) {
+            const int32_t u = pv[i];
+            const int32_t nxt = (i < plen - 1) ? pv[i + 1] : -1;
+            for (int64_t e = oadj_ptr[u]; e < oadj_ptr[u + 1]; e++) {
+                const int32_t v = oadj_v[e];
+                if (i == plen - 1 || v != nxt) {
+                    if (w_id[e] == -1) {
+                        adj.emplace_back();
+                        e2o.emplace_back();
+                        v2h.push_back(-1);
+                        w_id[e] = cur++;
+                    }
+                    adj[v2e[(size_t)u * nH + h]].push_back({w_id[e], 1});
+                    if (adj[w_id[e]].empty()) {
+                        for (int32_t h2 = 0; h2 < nH; h2++) {
+                            const int32_t ve = v2e[(size_t)v * nH + h2];
+                            if (ve >= 0) adj[w_id[e]].push_back({ve, 0});
+                        }
+                    }
+                }
+            }
+        }
+    }
+
+    // anchor super-nodes + colours (approximator.cpp:1114-1176)
+    struct ARec {
+        int32_t startOrg, endOrg, startExp, endExp, nodeID;
+        std::vector<int32_t> colours;
+    };
+    std::vector<std::vector<int32_t>> color(adj.size());
+    std::vector<std::vector<ARec>> anchors_by_hap(nH);
+    int32_t next_id = (int32_t)adj.size();
+    int32_t colour_id = 0;
+    int64_t oi = 0;
+    while (oi < n_occ) {
+        const int32_t sp = occ_sp[oi];
+        bool new_color_used = false;
+        for (; oi < n_occ && occ_sp[oi] == sp; oi++) {
+            const int64_t c0 = occ_ptr[oi], c1 = occ_ptr[oi + 1];
+            if (c0 == c1) continue;
+            const int32_t h = occ_hap[oi];
+            new_color_used = true;
+            const int32_t start_org = occ_v[c0];
+            const int32_t end_org = occ_v[c1 - 1];
+            const int32_t start_exp = v2e[(size_t)start_org * nH + h];
+            const int32_t end_exp = v2e[(size_t)end_org * nH + h];
+            int32_t node_id;
+            if (start_exp == end_exp) {
+                node_id = start_exp;
+            } else {
+                adj[start_exp].push_back({next_id, 0});
+                adj.emplace_back();
+                adj.back().push_back({end_exp, 0});
+                e2o.emplace_back(occ_v + c0, occ_v + c1);
+                color.emplace_back();
+                v2h.push_back(-1);
+                node_id = next_id++;
+            }
+            anchors_by_hap[h].push_back(
+                {start_org, end_org, start_exp, end_exp, node_id,
+                 {colour_id}});
+        }
+        if (new_color_used) {
+            g_bd.color_to_anchor.push_back(sp);
+            colour_id++;
+        }
+    }
+    g_bd.num_colors = colour_id;
+
+    // sweep per haplotype (approximator.cpp:1193-1246); std::sort on
+    // (startExp, endExp) — libstdc++ tie order is observable via the
+    // colour containment unions and matches the reference
+    for (int32_t h = 0; h < nH; h++) {
+        auto& vec = anchors_by_hap[h];
+        if (vec.empty()) continue;
+        std::sort(vec.begin(), vec.end(), [](const ARec& a, const ARec& b) {
+            if (a.startExp != b.startExp) return a.startExp < b.startExp;
+            return a.endExp < b.endExp;
+        });
+        std::vector<int64_t> stk;
+        for (int64_t ai = 0; ai < (int64_t)vec.size(); ai++) {
+            ARec& anc = vec[ai];
+            while (!stk.empty() && vec[stk.back()].endExp < anc.startExp)
+                stk.pop_back();
+            if (!stk.empty() && anc.startExp <= vec[stk.back()].endExp &&
+                vec[stk.back()].nodeID != anc.nodeID)
+                adj[vec[stk.back()].nodeID].push_back({anc.nodeID, 0});
+            for (int64_t i = (int64_t)stk.size() - 1; i >= 0; i--) {
+                if (anc.endExp <= vec[stk[i]].endExp) {
+                    auto& have = vec[stk[i]].colours;
+                    for (int32_t c : anc.colours) {
+                        bool got = false;
+                        for (int32_t x : have)
+                            if (x == c) { got = true; break; }
+                        if (!got) have.push_back(c);
+                    }
+                } else {
+                    break;
+                }
+            }
+            stk.push_back(ai);
+        }
+        for (const ARec& anc : vec) {
+            auto& dst = color[anc.nodeID];
+            dst.insert(dst.end(), anc.colours.begin(), anc.colours.end());
+            std::sort(dst.begin(), dst.end());
+            dst.erase(std::unique(dst.begin(), dst.end()), dst.end());
+        }
+    }
+
+    // ---- Kahn topological reorder, sink last (ExpandedGraph.hpp:29-102) ----
+    const int64_t n = (int64_t)adj.size();
+    std::vector<int32_t> indeg(n, 0);
+    for (const auto& nbrs : adj)
+        for (const E& e : nbrs) indeg[e.first]++;
+    std::vector<int32_t> q;
+    q.reserve(n);
+    for (int64_t v = 0; v < n; v++)
+        if (indeg[v] == 0 && v != sink) q.push_back((int32_t)v);
+    bool sink_ready = indeg[sink] == 0;
+    std::vector<int32_t> order;
+    order.reserve(n);
+    size_t qh = 0;
+    while (qh < q.size() || sink_ready) {
+        int32_t u;
+        if (qh < q.size()) {
+            u = q[qh++];
+        } else {
+            u = sink;
+            sink_ready = false;
+        }
+        order.push_back(u);
+        for (const E& e : adj[u]) {
+            if (--indeg[e.first] == 0) {
+                if (e.first == sink)
+                    sink_ready = true;
+                else
+                    q.push_back(e.first);
+            }
+        }
+    }
+    if ((int64_t)order.size() != n) return -1;  // cycle
+    std::vector<int32_t> new_idx(n);
+    for (int64_t i = 0; i < n; i++) new_idx[order[i]] = (int32_t)i;
+
+    // permuted CSR outputs (per-source edge order preserved)
+    g_bd.adj_ptr.assign(n + 1, 0);
+    g_bd.col_ptr.assign(n + 1, 0);
+    g_bd.org_ptr.assign(n + 1, 0);
+    g_bd.hap.resize(n);
+    int64_t ne = 0, nc = 0, no = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const int32_t old = order[i];
+        ne += (int64_t)adj[old].size();
+        nc += (int64_t)color[old].size();
+        no += (int64_t)e2o[old].size();
+        g_bd.adj_ptr[i + 1] = ne;
+        g_bd.col_ptr[i + 1] = nc;
+        g_bd.org_ptr[i + 1] = no;
+        g_bd.hap[i] = v2h[old];
+    }
+    g_bd.adj_v.resize(ne);
+    g_bd.adj_w.resize(ne);
+    g_bd.col_v.resize(nc);
+    g_bd.org_v.resize(no);
+    for (int64_t i = 0; i < n; i++) {
+        const int32_t old = order[i];
+        int64_t p = g_bd.adj_ptr[i];
+        for (const E& e : adj[old]) {
+            g_bd.adj_v[p] = new_idx[e.first];
+            g_bd.adj_w[p] = e.second;
+            p++;
+        }
+        memcpy(g_bd.col_v.data() + g_bd.col_ptr[i], color[old].data(),
+               color[old].size() * 4);
+        memcpy(g_bd.org_v.data() + g_bd.org_ptr[i], e2o[old].data(),
+               e2o[old].size() * 4);
+    }
+    g_bd.sink = new_idx[sink];
+
+    // flattened per-hap anchor tables (sorted order, post-sweep colours)
+    g_bd.anc_ptr.assign(nH + 1, 0);
+    for (int32_t h = 0; h < nH; h++)
+        g_bd.anc_ptr[h + 1] =
+            g_bd.anc_ptr[h] + (int64_t)anchors_by_hap[h].size();
+    g_bd.anc_cptr.push_back(0);
+    for (int32_t h = 0; h < nH; h++) {
+        for (const ARec& a : anchors_by_hap[h]) {
+            g_bd.anc_so.push_back(a.startOrg);
+            g_bd.anc_eo.push_back(a.endOrg);
+            g_bd.anc_cv.insert(g_bd.anc_cv.end(), a.colours.begin(),
+                               a.colours.end());
+            g_bd.anc_cptr.push_back((int64_t)g_bd.anc_cv.size());
+        }
+    }
+    return 0;
+}
+
+int64_t dg_build_n() { return (int64_t)g_bd.hap.size(); }
+int64_t dg_build_ne() { return (int64_t)g_bd.adj_v.size(); }
+int64_t dg_build_ncol() { return (int64_t)g_bd.col_v.size(); }
+int64_t dg_build_norg() { return (int64_t)g_bd.org_v.size(); }
+int64_t dg_build_sink() { return g_bd.sink; }
+int32_t dg_build_ncolors() { return g_bd.num_colors; }
+int64_t dg_build_nanc() { return (int64_t)g_bd.anc_so.size(); }
+int64_t dg_build_nancv() { return (int64_t)g_bd.anc_cv.size(); }
+int64_t dg_build_ncta() { return (int64_t)g_bd.color_to_anchor.size(); }
+
+void dg_build_fetch(int64_t* adj_ptr, int32_t* adj_v, int8_t* adj_w,
+                    int64_t* col_ptr, int32_t* col_v,
+                    int64_t* org_ptr, int32_t* org_v, int32_t* hap,
+                    int32_t* color_to_anchor, int64_t* anc_ptr,
+                    int32_t* anc_so, int32_t* anc_eo,
+                    int64_t* anc_cptr, int32_t* anc_cv) {
+    memcpy(adj_ptr, g_bd.adj_ptr.data(), g_bd.adj_ptr.size() * 8);
+    memcpy(adj_v, g_bd.adj_v.data(), g_bd.adj_v.size() * 4);
+    memcpy(adj_w, g_bd.adj_w.data(), g_bd.adj_w.size());
+    memcpy(col_ptr, g_bd.col_ptr.data(), g_bd.col_ptr.size() * 8);
+    memcpy(col_v, g_bd.col_v.data(), g_bd.col_v.size() * 4);
+    memcpy(org_ptr, g_bd.org_ptr.data(), g_bd.org_ptr.size() * 8);
+    memcpy(org_v, g_bd.org_v.data(), g_bd.org_v.size() * 4);
+    memcpy(hap, g_bd.hap.data(), g_bd.hap.size() * 4);
+    memcpy(color_to_anchor, g_bd.color_to_anchor.data(),
+           g_bd.color_to_anchor.size() * 4);
+    memcpy(anc_ptr, g_bd.anc_ptr.data(), g_bd.anc_ptr.size() * 8);
+    memcpy(anc_so, g_bd.anc_so.data(), g_bd.anc_so.size() * 4);
+    memcpy(anc_eo, g_bd.anc_eo.data(), g_bd.anc_eo.size() * 4);
+    memcpy(anc_cptr, g_bd.anc_cptr.data(), g_bd.anc_cptr.size() * 8);
+    memcpy(anc_cv, g_bd.anc_cv.data(), g_bd.anc_cv.size() * 4);
+    g_bd = BuildResult();
+}
+
 const char* dg_version() { return "dgcore 0.1"; }
 
 }  // extern "C"
