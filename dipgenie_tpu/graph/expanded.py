@@ -604,14 +604,18 @@ def build_expanded_graph_native(
         else np.empty(0, np.int32)
     )
     n = index.n_vtx
-    odeg = np.fromiter((len(a) for a in index.adj_list), np.int64, n)
-    oadj_ptr = np.zeros(n + 1, np.int64)
-    np.cumsum(odeg, out=oadj_ptr[1:])
-    oadj_v = (
-        np.concatenate(index.adj_list).astype(np.int32)
-        if n and oadj_ptr[-1]
-        else np.empty(0, np.int32)
-    )
+    if index.adj_ptr is not None:
+        oadj_ptr = index.adj_ptr
+        oadj_v = index.adj_flat.astype(np.int32)
+    else:
+        odeg = np.fromiter((len(a) for a in index.adj_list), np.int64, n)
+        oadj_ptr = np.zeros(n + 1, np.int64)
+        np.cumsum(odeg, out=oadj_ptr[1:])
+        oadj_v = (
+            np.concatenate(index.adj_list).astype(np.int32)
+            if n and oadj_ptr[-1]
+            else np.empty(0, np.int32)
+        )
 
     out = native.build_expanded(n, path_ptr, path_v, oadj_ptr, oadj_v, *occ)
     g = CsrExpandedGraph(

@@ -38,6 +38,8 @@ class PangenomeIndex:
     node_seq: list[str] = field(default_factory=list)
     node_len: np.ndarray | None = None
     adj_list: list[np.ndarray] = field(default_factory=list)  # sorted by column
+    adj_ptr: np.ndarray | None = None  # CSR form of adj_list
+    adj_flat: np.ndarray | None = None
     paths: list[np.ndarray] = field(default_factory=list)  # walk -> seg ids
     haps: list[list[int]] = field(default_factory=list)  # seg -> walks containing it
     in_paths: np.ndarray | None = None  # [num_walks, n_vtx] 0/1
@@ -54,18 +56,19 @@ class PangenomeIndex:
         self.node_seq = [s if s is not None else "" for s in g.seg_seqs]
         self.node_len = np.asarray(g.seg_lens, np.int64)
 
-        # forward-strand adjacency (solver.cpp:60-91)
-        adj: list[list[int]] = [[] for _ in range(n)]
+        # forward-strand adjacency (solver.cpp:60-91); edge (head, tail)
+        # pairs collected now, sorted + materialized after column order
         if len(g.arcs) == 0:
             self.lin_ref = True
+            heads = tails = np.zeros(0, np.int64)
         else:
-            for v, w, _ov, _ow, _c in g.arcs:
-                if v % 2 == 0:
-                    adj[v >> 1].append(w >> 1)
+            arcs = np.asarray(g.arcs, np.int64).reshape(-1, 5)
+            fwd = (arcs[:, 0] & 1) == 0
+            heads = arcs[fwd, 0] >> 1
+            tails = arcs[fwd, 1] >> 1
 
         # walks (solver.cpp:103-125)
         self.num_walks = len(g.walks)
-        self.haps = [[] for _ in range(n)]
         self.in_paths = np.zeros((self.num_walks, n), np.int8)
         for wi, w in enumerate(g.walks):
             self.hap_id2name.append(f"{w.sample}.{w.hap}")
@@ -77,9 +80,21 @@ class PangenomeIndex:
                 raise SystemExit(1)
             segs = (w.v >> 1).astype(np.int64)
             self.paths.append(segs)
-            for v in segs:
-                self.haps[v].append(wi)
             self.in_paths[wi, segs] = 1
+        # haps[v] = walk ids containing v, in (walk, position) append order
+        # (solver.cpp:110-114); vectorized via stable sort by segment
+        if self.paths:
+            all_segs = np.concatenate(self.paths) if self.num_walks else np.zeros(0, np.int64)
+            all_wi = np.repeat(
+                np.arange(self.num_walks, dtype=np.int64),
+                [len(p) for p in self.paths],
+            )
+            o = np.argsort(all_segs, kind="stable")
+            counts = np.bincount(all_segs, minlength=n)
+            bounds = np.cumsum(counts)[:-1]
+            self.haps = np.split(all_wi[o], bounds)
+        else:
+            self.haps = [np.zeros(0, np.int64) for _ in range(n)]
 
         # ---- MSA-like column order (solver.cpp:127-199) ----
         INF = np.iinfo(np.int64).max // 4
@@ -126,13 +141,19 @@ class PangenomeIndex:
         self.top_order_map[order] = np.arange(n)
         self.dense_pos = dense_pos
 
-        # sort adjacency by (column, id) (solver.cpp:216-223)
-        self.adj_list = []
-        for u in range(n):
-            nei = np.asarray(adj[u], np.int64)
-            if len(nei) > 1:
-                nei = nei[np.lexsort((nei, dense_pos[nei]))]
-            self.adj_list.append(nei)
+        # sort adjacency by (column, id) (solver.cpp:216-223) — one global
+        # lexsort over (head, column(tail), tail), then split per head
+        if len(heads):
+            o = np.lexsort((tails, dense_pos[tails], heads))
+            flat = tails[o]
+            ptr = np.zeros(n + 1, np.int64)
+            np.cumsum(np.bincount(heads, minlength=n), out=ptr[1:])
+        else:
+            flat = np.zeros(0, np.int64)
+            ptr = np.zeros(n + 1, np.int64)
+        self.adj_ptr = ptr  # CSR view (consumed by the native builder)
+        self.adj_flat = flat
+        self.adj_list = [flat[ptr[u] : ptr[u + 1]] for u in range(n)]
         return self
 
     def haplotype_seq(self, h: int) -> str:
