@@ -47,7 +47,7 @@ def build_mhc_csr():
             "hom_ptr", "hom_colors", "het_ptr", "het_colors",
         )]
     log("building MHC levelized CSR (full front-end run)...")
-    from dipgenie_tpu.graph.expanded import build_expanded_graph
+    from dipgenie_tpu import native
     from dipgenie_tpu.io.fastx import read_fastx
     from dipgenie_tpu.solver.anchors import compute_and_classify_anchors
     from dipgenie_tpu.solver.diploid import csr_arrays
@@ -57,10 +57,26 @@ def build_mhc_csr():
     p.load()
     reads = read_fastx(REF_READS)
     anchors = compute_and_classify_anchors(p.index, reads, 31, 25, 1.0, verbose=False)
-    b = build_expanded_graph(p.index, anchors)
-    g = b.graph
-    g.topologically_reorder(b.sink)
-    g.strict_bfs_levelize_and_reorder()
+    # Same front-end path as pipeline.solve(): native builder + levelizer
+    # when available; otherwise materialize the flat native anchor arrays
+    # into per-hit chains for the Python builder.
+    if native.available():
+        from dipgenie_tpu.graph.expanded import build_expanded_graph_native
+        from dipgenie_tpu.graph.leveled import levelize_native
+
+        b = build_expanded_graph_native(p.index, anchors)
+        g = levelize_native(b.graph)
+    else:
+        from dipgenie_tpu.graph.expanded import build_expanded_graph
+
+        if anchors.occ_sp is not None and not anchors.anchor_hits:
+            from dipgenie_tpu.solver.anchors import materialize_hits
+
+            anchors.anchor_hits = materialize_hits(anchors, p.index.num_walks)
+        b = build_expanded_graph(p.index, anchors)
+        g = b.graph
+        g.topologically_reorder(b.sink)
+        g.strict_bfs_levelize_and_reorder()
     chb = [False] * b.num_colors
     for c in range(b.num_colors):
         if anchors.homo_bv[b.color_to_anchor[c]]:
@@ -124,11 +140,13 @@ def main() -> int:
     R = 18
     using_mhc = os.path.exists(REF_MHC) and os.path.exists(REF_READS)
     t_all = time.time()
-    try:
-        arrs = build_mhc_csr() if using_mhc else synthetic_csr()
-    except Exception as e:  # noqa: BLE001
-        log(f"MHC front-end failed ({e}); using synthetic workload")
-        using_mhc = False
+    if using_mhc:
+        # no silent synthetic fallback: the baseline constant is the
+        # reference C++ on this exact MHC workload, so a front-end crash
+        # must fail the bench rather than record an apples-to-oranges number
+        arrs = build_mhc_csr()
+    else:
+        log("MHC fixture unavailable; using synthetic workload")
         arrs = synthetic_csr()
     level_ptr = arrs[0]
     widths = np.diff(level_ptr)
@@ -156,7 +174,10 @@ def main() -> int:
         log(f"forward passes done in {time.time()-t0:.1f}s; best {warm:.2f}s; "
             f"DP value {dp_value}")
         if using_mhc and dp_value != 60729:
-            log(f"WARNING: DP value {dp_value} != expected 60729")
+            # hard-fail: a wrong DP value means the measured workload is
+            # not the real MHC problem — never record a bogus number
+            log(f"FATAL: DP value {dp_value} != expected 60729")
+            return 1
         value = cells / warm
         backend = f"jax-{jax.devices()[0].platform}"
     except Exception as e:  # noqa: BLE001

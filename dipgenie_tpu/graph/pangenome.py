@@ -41,7 +41,7 @@ class PangenomeIndex:
     adj_ptr: np.ndarray | None = None  # CSR form of adj_list
     adj_flat: np.ndarray | None = None
     paths: list[np.ndarray] = field(default_factory=list)  # walk -> seg ids
-    haps: list[list[int]] = field(default_factory=list)  # seg -> walks containing it
+    haps: list[np.ndarray] = field(default_factory=list)  # seg -> walk ids (int64) containing it
     in_paths: np.ndarray | None = None  # [num_walks, n_vtx] 0/1
     hap_id2name: list[str] = field(default_factory=list)
     top_order: np.ndarray | None = None
@@ -83,7 +83,7 @@ class PangenomeIndex:
             self.in_paths[wi, segs] = 1
         # haps[v] = walk ids containing v, in (walk, position) append order
         # (solver.cpp:110-114); vectorized via stable sort by segment
-        if self.paths:
+        if n and self.paths:
             all_segs = np.concatenate(self.paths) if self.num_walks else np.zeros(0, np.int64)
             all_wi = np.repeat(
                 np.arange(self.num_walks, dtype=np.int64),

@@ -10,6 +10,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import sys
 
 import numpy as np
 
@@ -18,6 +19,23 @@ _NATIVE_DIR = os.path.join(_ROOT, "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libdgcore.so")
 
 _lib = None
+_warned = False
+
+
+def _warn_unavailable(detail: str) -> None:
+    """One-time loud warning: a silently-missing native runtime would turn
+    a ~30 s MHC run into hours on the pure-Python fallback tiers."""
+    global _warned
+    if _warned or os.environ.get("DIPGENIE_NO_NATIVE_WARNING"):
+        return
+    _warned = True
+    print(
+        "[dipgenie-tpu] WARNING: native runtime (libdgcore.so) unavailable — "
+        "falling back to the much slower pure-Python tiers.\n"
+        f"[dipgenie-tpu]   cause: {detail}",
+        file=sys.stderr,
+        flush=True,
+    )
 
 
 def _build() -> bool:
@@ -28,7 +46,12 @@ def _build() -> bool:
             capture_output=True,
         )
         return True
-    except Exception:
+    except subprocess.CalledProcessError as e:
+        err = (e.stderr or b"").decode("utf-8", "replace").strip()
+        _warn_unavailable(f"native build failed:\n{err}")
+        return False
+    except Exception as e:
+        _warn_unavailable(f"cannot run make in {_NATIVE_DIR}: {e!r}")
         return False
 
 
@@ -45,7 +68,8 @@ def get_lib():
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
+    except OSError as e:
+        _warn_unavailable(f"cannot load {_LIB_PATH}: {e}")
         return None
 
     c_i8p = np.ctypeslib.ndpointer(np.int8, flags="C")
@@ -347,4 +371,9 @@ def diploid_dp(level_ptr, adj_ptr, adj_v, adj_w, hom_ptr, hom_colors,
         np.ascontiguousarray(het_colors, np.int32),
         out_shet, out_trans, n_threads, 1 if progress else 0,
     )
+    if val == -(2**31):  # validation sentinel from dg_diploid_dp
+        raise ValueError(
+            "dg_diploid_dp rejected the workload: R must be >= 0 and every "
+            "level width must be < 4096 (backpointer packing limit)"
+        )
     return int(val), int(out_shet[0]), out_trans.reshape(L, 5)

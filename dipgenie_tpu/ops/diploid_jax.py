@@ -76,6 +76,12 @@ def plan_transitions(
 ) -> list[Transition]:
     """Build per-transition tables from levelized CSR arrays (host)."""
     L = len(level_ptr) - 1
+    widths = np.diff(np.asarray(level_ptr, np.int64))
+    if len(widths) and int(widths.max()) >= 4096:
+        raise ValueError(
+            f"level width {int(widths.max())} >= 4096: backpointer packing "
+            "(pi | pj<<12) requires every level width < 4096"
+        )
     out: list[Transition] = []
     for l in range(L - 1):
         b0, b1, b2 = int(level_ptr[l]), int(level_ptr[l + 1]), int(level_ptr[l + 2])

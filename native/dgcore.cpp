@@ -316,9 +316,13 @@ int32_t dg_diploid_dp(int64_t nv, int64_t L, int32_t R,
 #endif
     const int32_t NEG_INF = INT32_MIN / 4;
     const int32_t W = R + 1;
+    if (R < 0) return INT32_MIN;
 
     // backpointer store: per level l (1..L-1), packed int32 per state:
-    // pi | pj<<12 | wu<<24 | wv<<25  (level widths < 4096)
+    // pi | pj<<12 | wu<<24 | wv<<25 — requires every level width < 4096;
+    // validate up front rather than silently corrupting backpointers.
+    for (int64_t l = 0; l < L; l++)
+        if (level_ptr[l + 1] - level_ptr[l] >= 4096) return INT32_MIN;
     std::vector<std::vector<int32_t>> bp(L);
 
     int32_t k0 = (int32_t)(level_ptr[1] - level_ptr[0]);
@@ -446,6 +450,9 @@ int32_t dg_diploid_dp(int64_t nv, int64_t L, int32_t R,
         {
             std::vector<Cand> cands;
             std::vector<int32_t> rwords;  // merged support of (i2, j2)
+            // per-thread r-indexed reduction scratch (heap: any R)
+            std::vector<int32_t> best(W), bi(W), bj(W), bbp(W);
+            std::vector<int64_t> bsh(W);
 #pragma omp for schedule(dynamic, 1)
             for (int32_t i2 = 0; i2 < k2; i2++) {
                 const uint64_t* rh2 = &rmask_h[(size_t)i2 * nwords];
@@ -514,8 +521,6 @@ int32_t dg_diploid_dp(int64_t nv, int64_t L, int32_t R,
                         }
                     }
                     // candidate-outer, r-inner over r-contiguous state
-                    int32_t best[64], bi[64], bj[64], bbp[64];
-                    int64_t bsh[64];
                     for (int32_t r2 = 0; r2 <= R; r2++) {
                         best[r2] = NEG_INF;
                         bi[r2] = INT32_MAX;
