@@ -77,14 +77,35 @@ def main(argv: list[str] | None = None) -> int:
     timing.set_start()
 
     if args.a:
-        # reference parity: -a1 selects the ILP branch which is compiled out
-        # of the stock reference build and silently does nothing
-        # (main.cpp:167-199). We print a note and exit successfully.
+        # -a1 selects the ILP branch (main.cpp:167-199). The stock reference
+        # build compiles it out (no -DILP / Gurobi); here it is a real exact
+        # solver (HiGHS branch-and-bound, solver/ilp.py).
         print(
-            "[W::main] -a1 selects the ILP solver branch, which is not "
-            "compiled in (reference parity: stock builds lack -DILP); "
-            "no output produced.",
+            "[M::main] -a1: exact ILP solver (HiGHS); note the stock "
+            "reference build compiles this branch out.",
             file=sys.stderr,
+        )
+        from .io.fastx import read_fastx
+        from .solver.anchors import compute_and_classify_anchors
+        from .solver.ilp import ilp_solve
+        from .solver.pipeline import get_hap_name
+
+        cfg = PipelineConfig(
+            k=args.k, w=args.w, recombination_penalty=args.P, ploidy=args.p,
+            threshold=args.T, num_threads=args.t, debug=bool(args.d),
+            sketch_backend=args.sketch_backend,
+        )
+        pipe = Pipeline(args.g, args.r, args.o, cfg)
+        pipe.load()
+        reads = read_fastx(args.r)
+        anchors = compute_and_classify_anchors(
+            pipe.index, reads, cfg.k, cfg.w, cfg.threshold,
+            sketch_backend=cfg.sketch_backend,
+        )
+        ilp_solve(
+            pipe.index, anchors, args.o, get_hap_name(args.g, args.r),
+            ploidy=args.p, recombination_penalty=args.P,
+            is_mixed=bool(args.m),
         )
     else:
         if args.p not in (1, 2):

@@ -37,10 +37,15 @@ def test_toy_diploid_via_cli(tmp_path):
     assert "Real time" in r.stderr
 
 
-def test_ilp_branch_parity_noop(tmp_path):
+def test_ilp_branch_runs_exact_solver(tmp_path):
+    # the stock reference compiles -a1 out (no -DILP); here it runs the
+    # exact HiGHS-backed solver and writes {out}_{h}.fa per copy
     gfa = ref_fixture("test.gfa")
     reads = ref_fixture("read.fa")
     out = tmp_path / "out.fa"
-    r = _run(["-a", "1", "-g", gfa, "-r", reads, "-o", str(out)])
-    assert r.returncode == 0
-    assert not out.exists()  # reference -a1 without -DILP writes nothing
+    r = _run(["-a", "1", "-k", "5", "-w", "3", "-p", "2",
+              "-g", gfa, "-r", reads, "-o", str(out)])
+    assert r.returncode == 0, r.stderr
+    assert not out.exists()  # per-copy files, not the -o path itself
+    assert (tmp_path / "out.fa_1.fa").exists()
+    assert (tmp_path / "out.fa_2.fa").exists()

@@ -61,6 +61,42 @@ def test_mhc_diploid_golden(tmp_path):
 
 
 @pytest.mark.skipif(not SLOW, reason="set RUN_SLOW=1 for MHC-scale goldens")
+def test_mhc_haploid_device_tier_golden(tmp_path):
+    """Device sketch tier must match the host-tier golden byte-for-byte."""
+    import io
+
+    from dipgenie_tpu.solver.pipeline import Pipeline, PipelineConfig
+
+    gfa = ref_fixture("MHC_4.gfa.gz")
+    reads = ref_fixture("CHM13_reads.fq.gz")
+    out = tmp_path / "hap_dev.fa"
+    Pipeline(
+        gfa, reads, str(out),
+        PipelineConfig(ploidy=1, verbose=False, sketch_backend="device"),
+    ).run(out=io.StringIO())
+    assert _md5(out) == MHC_HAP_MD5
+
+
+@pytest.mark.skipif(not SLOW, reason="set RUN_SLOW=1 for MHC-scale goldens")
+def test_mhc_diploid_device_tier_golden(tmp_path):
+    """JAX wavefront DP + device sketch on MHC: byte-identical to the
+    native-tier golden (measured ~8 min on the 2-vCPU XLA-CPU backend)."""
+    import io
+
+    from dipgenie_tpu.solver.pipeline import Pipeline, PipelineConfig
+
+    gfa = ref_fixture("MHC_4.gfa.gz")
+    reads = ref_fixture("CHM13_reads.fq.gz")
+    out = tmp_path / "dip_dev.fa"
+    Pipeline(
+        gfa, reads, str(out),
+        PipelineConfig(ploidy=2, verbose=False, dp_backend="jax",
+                       sketch_backend="device"),
+    ).run(out=io.StringIO())
+    assert _md5(out) == MHC_DIP_MD5
+
+
+@pytest.mark.skipif(not SLOW, reason="set RUN_SLOW=1 for MHC-scale goldens")
 def test_hg002_sim_diploid_golden(tmp_path):
     """Deterministic simulated HG002 2x diploid read set (seed 7)."""
     import io
