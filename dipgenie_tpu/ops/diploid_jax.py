@@ -287,7 +287,7 @@ class DeviceDiploidDP:
                  small=(SMALL_B, SMALL_P, SMALL_W), chunks=CHUNKS,
                  ckpt_every: int = 24,
                  b_buckets=(64, 160, 512), p_buckets=(8, 32),
-                 w_buckets=(8, 32)):
+                 w_buckets=(8, 32), mesh=None):
         self.R = R
         self.small = small
         self.chunks = sorted(chunks)
@@ -298,9 +298,45 @@ class DeviceDiploidDP:
         self.w_buckets = w_buckets
         self.throttle = 1000  # forward ops between queue-depth syncs
         self.throttle_spans = 8  # backward spans between queue-depth syncs
+        # optional jax.sharding.Mesh with a "tp" axis: the [(R+1), B, B]
+        # state is sharded over its destination-row axis (pair-tile
+        # parallelism, SURVEY §7.6); transition stacks are replicated and
+        # XLA inserts the all-gathers for the source-row reads
+        self.mesh = mesh
         self._jit = {}
         self._build_program()
         self._device_stacks = None
+
+    # ---------------- sharding helpers ----------------
+    def _state_sharding(self):
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P(None, "tp", None))
+
+    def _rep_sharding(self):
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P())
+
+    def _ys_sharding(self):
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P(None, None, "tp", None))
+
+    def _jit_sharded(self, fn, out_shardings, **kw):
+        """jit with pinned output shardings; input shardings propagate from
+        the committed (device_put) stacks and state arrays."""
+        import jax
+
+        if self.mesh is None:
+            return jax.jit(fn, **kw)
+        return jax.jit(fn, out_shardings=out_shardings, **kw)
 
     # ---------------- program construction (host) ----------------
     def _is_small(self, t: Transition) -> bool:
@@ -356,6 +392,10 @@ class DeviceDiploidDP:
         ts = self.transitions
 
         def stack_for(rows, B, P, W, noop_fields):
+            if not rows:  # e.g. every transition routed to a big bucket
+                return tuple(
+                    np.zeros((0,) + f.shape, f.dtype) for f in noop_fields
+                )
             fields = [[] for _ in range(7)]
             for r in rows:
                 fs = noop_fields if r < 0 else _pad_fields(ts[r], B, P, W)
@@ -376,12 +416,25 @@ class DeviceDiploidDP:
         if self._device_stacks is not None:
             return self._device_stacks
         small_np, big_np = self._build_stacks_np()
-        small = tuple(jax.device_put(a) for a in small_np)
+        rep = self._rep_sharding()
+        small = tuple(jax.device_put(a, rep) for a in small_np)
         big = {
-            s: tuple(jax.device_put(a) for a in arrs) for s, arrs in big_np.items()
+            s: tuple(jax.device_put(a, rep) for a in arrs)
+            for s, arrs in big_np.items()
         }
         self._device_stacks = (small, big)
         return self._device_stacks
+
+    def _initial_state(self, B: int):
+        import jax
+        import numpy as _np
+
+        R = self.R
+        V = _np.full((R + 1, B, B), NEG_INF, _np.int32)
+        V[:, 0, 0] = 0
+        SH = _np.zeros((R + 1, B, B), _np.int32)
+        st = self._state_sharding()
+        return jax.device_put(V, st), jax.device_put(SH, st)
 
     # ---------------- jitted building blocks ----------------
     def _scan_fn(self, T: int, with_bp: bool):
@@ -405,7 +458,9 @@ class DeviceDiploidDP:
                 (V2, SH2), ys = jax.lax.scan(f, (V, SH), xs)
                 return V2, SH2, ys
 
-            self._jit[key] = jax.jit(run, static_argnames=())
+            st = self._state_sharding()
+            ys_s = self._ys_sharding() if with_bp else self._rep_sharding()
+            self._jit[key] = self._jit_sharded(run, (st, st, ys_s))
         return self._jit[key]
 
     def _big_fn(self, shape):
@@ -424,7 +479,8 @@ class DeviceDiploidDP:
                 (V2, SH2), bp = _step_body(R, P, (V, SH), xs)
                 return V2, SH2, bp
 
-            self._jit[key] = jax.jit(run)
+            st = self._state_sharding()
+            self._jit[key] = self._jit_sharded(run, (st, st, st))
         return self._jit[key]
 
     def _resize_fn(self, b_from: int, b_to: int):
@@ -444,7 +500,8 @@ class DeviceDiploidDP:
                     return Vn, Sn
                 return V[:, :b_to, :b_to], SH[:, :b_to, :b_to]
 
-            self._jit[key] = jax.jit(run)
+            st = self._state_sharding()
+            self._jit[key] = self._jit_sharded(run, (st, st))
         return self._jit[key]
 
     def _finalize_fn(self):
@@ -463,7 +520,7 @@ class DeviceDiploidDP:
                 head = jnp.stack([V[R, 0, 0], SH[R, 0, 0]])
                 return jnp.concatenate([head, pb.reshape(-1)])
 
-            self._jit[key] = jax.jit(f)
+            self._jit[key] = self._jit_sharded(f, self._rep_sharding())
         return self._jit[key]
 
     def _pathbuf_update(self):
@@ -478,7 +535,9 @@ class DeviceDiploidDP:
             def f(pb, rows, off):
                 return jax.lax.dynamic_update_slice(pb, rows, (off, jnp.int32(0)))
 
-            self._jit[key] = jax.jit(f, donate_argnums=(0,))
+            self._jit[key] = self._jit_sharded(
+                f, self._rep_sharding(), donate_argnums=(0,)
+            )
         return self._jit[key]
 
     def _trace_fn(self, T: int):
@@ -503,7 +562,8 @@ class DeviceDiploidDP:
                 carry2, rows = jax.lax.scan(f, carry, ys, reverse=True)
                 return carry2, rows  # rows [T, 4] aligned with ys order
 
-            self._jit[key] = jax.jit(run)
+            rep = self._rep_sharding()
+            self._jit[key] = self._jit_sharded(run, (rep, rep))
         return self._jit[key]
 
     def measure_forward(self, passes: int = 2, fetch_value: bool = False):
@@ -524,9 +584,7 @@ class DeviceDiploidDP:
         best = None
         for _ in range(max(passes, 1)):
             B_cur = ops[0].shape[0] if ops else self.small[0]
-            V = jnp.full((R + 1, B_cur, B_cur), NEG_INF, jnp.int32)
-            V = V.at[:, 0, 0].set(0)
-            SH = jnp.zeros((R + 1, B_cur, B_cur), jnp.int32)
+            V, SH = self._initial_state(B_cur)
             t0 = _time.time()
             for op in ops:
                 nb = op.shape[0]
@@ -573,9 +631,7 @@ class DeviceDiploidDP:
 
         # forward with checkpoints
         B_cur = op_B(ops[0]) if ops else SB
-        V = jnp.full((R + 1, B_cur, B_cur), NEG_INF, jnp.int32)
-        V = V.at[:, 0, 0].set(0)
-        SH = jnp.zeros((R + 1, B_cur, B_cur), jnp.int32)
+        V, SH = self._initial_state(B_cur)
 
         ckpts: dict[int, tuple] = {0: (V, SH, B_cur)}
         for oi, op in enumerate(ops):

@@ -326,17 +326,41 @@ def sketch_long_sequence_device(seq: str, k: int, w: int):
     return h64[em], mp[em]
 
 
-def sketch_reads_device(seqs: list[str], k: int, w: int, batch: int = 2048):
+def sketch_reads_device(seqs: list[str], k: int, w: int, batch: int = 2048,
+                        mesh=None):
     """Convenience wrapper: device sketch of many reads; returns list of
     per-read unique uint64 hash arrays (numpy). Non-ACGT reads fall back
-    to the host scanner."""
+    to the host scanner.
+
+    With ``mesh`` (a jax.sharding.Mesh with a "dp" axis), the read batch
+    is sharded over dp via shard_map: every device sketches its read
+    shard with the same kernel, results gather back sharded-out — the
+    data-parallel leg of the SURVEY §7.6 decomposition. Row padding to a
+    dp multiple uses zero-length reads (which emit nothing)."""
     import jax
 
     from ..sketch.minimizers import sketch_sequence
 
     jnp = _jnp()
     out: list[np.ndarray] = [None] * len(seqs)
-    jit_kernel = jax.jit(partial(batch_minimizer_kernel, k=k, w=w))
+    if mesh is None:
+        jit_kernel = jax.jit(partial(batch_minimizer_kernel, k=k, w=w))
+        n_dp = 1
+    else:
+        from jax.sharding import PartitionSpec as Pspec
+        from jax.experimental.shard_map import shard_map
+
+        n_dp = mesh.shape["dp"]
+        jit_kernel = jax.jit(
+            shard_map(
+                partial(batch_minimizer_kernel, k=k, w=w),
+                mesh=mesh,
+                in_specs=(Pspec("dp", None), Pspec("dp")),
+                out_specs=(Pspec("dp", None), Pspec("dp", None),
+                           Pspec("dp", None), Pspec("dp", None)),
+                check_rep=False,
+            )
+        )
 
     idxs = [i for i, s in enumerate(seqs)]
     # bucket by padded length to limit compilation shapes
@@ -352,7 +376,10 @@ def sketch_reads_device(seqs: list[str], k: int, w: int, batch: int = 2048):
     for plen, members in groups.items():
         for s0 in range(0, len(members), batch):
             chunk = members[s0 : s0 + batch]
-            codes, lens, pure = encode_reads([seqs[i] for i in chunk], plen)
+            texts = [seqs[i] for i in chunk]
+            if len(texts) % n_dp:  # pad rows to a dp multiple
+                texts += [""] * (n_dp - len(texts) % n_dp)
+            codes, lens, pure = encode_reads(texts, plen)
             hh, hl, emit, _ = jit_kernel(jnp.asarray(codes), jnp.asarray(lens))
             hh = np.asarray(hh, np.uint64)
             hl = np.asarray(hl, np.uint64)

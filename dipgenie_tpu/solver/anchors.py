@@ -87,6 +87,7 @@ def compute_and_classify_anchors(
     threshold: float,
     verbose: bool = True,
     sketch_backend: str = "host",  # host | device
+    mesh=None,  # optional Mesh with a "dp" axis: shard reads over devices
 ) -> AnchorData:
     H = index.num_walks
     data = AnchorData()
@@ -125,7 +126,9 @@ def compute_and_classify_anchors(
 
     # 2) sketch reads -> per-read unique hash sets
     if use_device:
-        read_hashes = sketch_reads_device([seq for _, seq in reads], k, w)
+        read_hashes = sketch_reads_device(
+            [seq for _, seq in reads], k, w, mesh=mesh
+        )
     elif use_native:
         batched = _native.sketch_batch(
             [seq.encode("latin-1") for _, seq in reads], k, w

@@ -252,6 +252,7 @@ def diploid_dp_solver(
     progress: bool = False,
     backend: str = "exact",
     n_threads: int = 0,
+    mesh=None,
 ):
     start_time = time.time()
     L = len(g.vertices_in_level)
@@ -268,7 +269,9 @@ def diploid_dp_solver(
         from ..ops.diploid_jax import DeviceDiploidDP, plan_transitions
 
         plan = plan_transitions(*csr_arrays(g, color_homo_bv))
-        sink_val, sink_shet, transitions = DeviceDiploidDP(plan, R).run()
+        sink_val, sink_shet, transitions = DeviceDiploidDP(
+            plan, R, mesh=mesh
+        ).run()
     else:
         Hm, Tm = build_color_masks(g, color_homo_bv)
         sink_val, sink_shet, transitions = _forward_exact(

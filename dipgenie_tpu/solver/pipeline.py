@@ -50,6 +50,9 @@ class PipelineConfig:
     progress: bool = False
     dp_backend: str = "auto"  # exact | jax | native | auto
     sketch_backend: str = "host"  # host | device
+    # optional jax.sharding.Mesh ("dp" x "tp"): reads shard over dp for
+    # device sketching; the diploid DP state tiles over tp (SURVEY §7.6)
+    mesh: object = None
 
 
 class Pipeline:
@@ -76,7 +79,7 @@ class Pipeline:
         reads = read_fastx(self.reads_file)
         self.anchors = compute_and_classify_anchors(
             self.index, reads, cfg.k, cfg.w, cfg.threshold, verbose=cfg.verbose,
-            sketch_backend=cfg.sketch_backend,
+            sketch_backend=cfg.sketch_backend, mesh=cfg.mesh,
         )
         self.solve(diploid=(cfg.ploidy == 2), out=out)
 
@@ -126,7 +129,7 @@ class Pipeline:
                 g, cfg.recombination_limit, color_homo_bv,
                 build.anchors_by_hap, self.index, out=out,
                 progress=cfg.progress, backend=backend,
-                n_threads=cfg.num_threads,
+                n_threads=cfg.num_threads, mesh=cfg.mesh,
             )
             for r1, r2, s1, s2 in solutions:
                 print(

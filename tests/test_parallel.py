@@ -54,6 +54,91 @@ def test_sharded_sketch_count_matches_host():
     assert np.array_equal(per_read, exp_per_read)
 
 
+def test_sharded_pipeline_end_to_end_byte_identical(tmp_path):
+    """FULL pipeline on the real toy fixture under a 2x4 dp*tp mesh:
+    dp-sharded device read sketching + tp-sharded device diploid DP must
+    produce the exact same FASTA bytes as the single-device native tier."""
+    import io
+
+    _need_devices(8)
+    from tests.conftest import ref_fixture
+    from dipgenie_tpu.parallel.mesh import make_mesh
+    from dipgenie_tpu.solver.pipeline import Pipeline, PipelineConfig
+
+    gfa = ref_fixture("test.gfa")
+    reads = ref_fixture("read.fa")
+
+    out_ref = tmp_path / "ref.fa"
+    Pipeline(
+        gfa, reads, str(out_ref),
+        PipelineConfig(k=5, w=3, recombination_limit=4, ploidy=2,
+                       verbose=False),
+    ).run(out=io.StringIO())
+
+    mesh = make_mesh(n_dp=2, n_tp=4)
+    out_sh = tmp_path / "sharded.fa"
+    Pipeline(
+        gfa, reads, str(out_sh),
+        PipelineConfig(k=5, w=3, recombination_limit=4, ploidy=2,
+                       verbose=False, dp_backend="jax",
+                       sketch_backend="device", mesh=mesh),
+    ).run(out=io.StringIO())
+
+    assert out_sh.read_bytes() == out_ref.read_bytes()
+
+
+def test_sharded_dp_full_forward_bit_equal():
+    """tp-sharded DeviceDiploidDP over ALL levels of a random leveled DAG
+    equals the unsharded device run and the exact host tier in
+    (value, s_het, transitions) — numeric equality, not shapes."""
+    _need_devices(8)
+    from dipgenie_tpu.ops.diploid_jax import DeviceDiploidDP, plan_transitions
+    from dipgenie_tpu.parallel.mesh import make_mesh
+    from dipgenie_tpu.solver.diploid import build_color_masks, csr_arrays
+    from tests.test_device_kernels import _random_leveled_graph
+
+    rng = np.random.default_rng(3)
+    g = _random_leveled_graph(rng, L=14, kmax=6)
+    chb = [bool(x) for x in rng.random(8) < 0.4]
+    plan = plan_transitions(*csr_arrays(g, chb))
+    R = 5
+    base = DeviceDiploidDP(plan, R).run()
+    mesh = make_mesh(n_dp=1, n_tp=8)
+    sharded = DeviceDiploidDP(plan, R, mesh=mesh).run()
+    assert sharded[0] == base[0]  # DP value
+    assert sharded[1] == base[1]  # s_het
+    assert sharded[2] == base[2]  # full backtracked transition list
+
+    from dipgenie_tpu.solver.diploid import _forward_exact
+
+    Hm, Tm = build_color_masks(g, chb)
+    exact = _forward_exact(g, R, Hm, Tm)
+    assert sharded[0] == exact[0]
+    assert sharded[1] == exact[1]
+    assert sharded[2] == exact[2]
+
+
+def test_sharded_read_sketch_matches_host_on_fixture():
+    """dp-sharded device read sketch on the real toy read set equals the
+    host scanner hash-for-hash."""
+    _need_devices(4)
+    import numpy as np
+
+    from tests.conftest import ref_fixture
+    from dipgenie_tpu.io.fastx import read_fastx
+    from dipgenie_tpu.ops.sketch_jax import sketch_reads_device
+    from dipgenie_tpu.parallel.mesh import make_mesh
+    from dipgenie_tpu.sketch.minimizers import sketch_sequence
+
+    reads = read_fastx(ref_fixture("read.fa"))
+    seqs = [s for _, s in reads]
+    mesh = make_mesh(n_dp=4, n_tp=1)
+    got = sketch_reads_device(seqs, 5, 3, mesh=mesh)
+    for s, g in zip(seqs, got):
+        exp = np.unique(sketch_sequence(s, 5, 3).hashes)
+        assert np.array_equal(g, exp)
+
+
 def test_dryrun_multichip_entrypoints():
     _need_devices(8)
     import sys
