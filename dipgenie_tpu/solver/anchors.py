@@ -195,6 +195,7 @@ def compute_and_classify_anchors(
                     f"{index.hap_id2name[h]} : {int(hap_counts[h])}",
                     file=sys.stderr,
                 )
+            _log_filtered(int(_nfilt), S)
         _classify(data, read_hashes, sp_hashes, S, verbose)
         return data
 
@@ -255,9 +256,22 @@ def compute_and_classify_anchors(
         for h in range(H):
             loc = sum(len(anchor_hits[r][h]) for r in range(S))
             print(f"{index.hap_id2name[h]} : {loc}", file=sys.stderr)
+        _log_filtered(filtered, S)
 
     _classify(data, read_hashes, sp_hashes, S, verbose)
     return data
+
+
+def _log_filtered(filtered: int, S: int) -> None:
+    """Filtered/retained minimizer percentages (solver.cpp:668-693; the
+    reference computes these but its print is commented out — we emit
+    the intended line)."""
+    denom = max(S, 1)
+    log_stage(
+        "compute_and_classify_anchors",
+        f"Filtered/Retained Minimizers: "
+        f"{100.0 * filtered / denom:.2f}/{100.0 * (S - filtered) / denom:.2f}%",
+    )
 
 
 def materialize_hits(data: AnchorData, H: int) -> list[list[list[Chain]]]:

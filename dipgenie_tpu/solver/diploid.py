@@ -82,6 +82,9 @@ def _forward_exact(g: ExpandedGraph, R: int, Hm, Tm, progress: bool = False):
     # per-level backpointer tables, filled for levels 1..L-1
     back: list[dict[str, np.ndarray] | None] = [None] * L
 
+    from ..utils.progress import ProgressThrottle
+
+    bar = ProgressThrottle(L) if progress else None
     rs = np.arange(R + 1)
     for l in range(L - 1):
         lnow = g.vertices_in_level[l]
@@ -142,11 +145,10 @@ def _forward_exact(g: ExpandedGraph, R: int, Hm, Tm, progress: bool = False):
                         wvb[w + bidx, iu2, jv2] = wv
         back[l + 1] = {"pi": pi, "pj": pj, "pr": pr, "wu": wub, "wv": wvb}
         val, shet = nval, nsh
-        if progress and (l % max(1, (L - 1) // 100) == 0 or l == L - 2):
-            pct = int(((l + 1) * 100) / L)
-            print(f"\r[DP] {pct}% {l+1}/{L}", end="", file=sys.stderr)
-    if progress:
-        print(file=sys.stderr)
+        if bar is not None:
+            bar.update(l + 1)
+    if bar is not None:
+        bar.update(L)
 
     best_r = R
     sink_val = int(val[best_r, 0, 0])

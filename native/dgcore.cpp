@@ -24,6 +24,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
+#include <ctime>
 #include <cstdlib>
 #include <vector>
 #include <deque>
@@ -303,6 +304,40 @@ int64_t dg_backtrack(int64_t n, int32_t R, const int32_t* back_vtx,
 // (pred_i, pred_j, pred_r, wu, wv) on the backtracked optimal path.
 // Returns the DP sink value; *out_shet receives the s_het bookkeeping.
 // ---------------------------------------------------------------------------
+
+static double dg_wall_now() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
+}
+
+// Live DP progress bar, same line shape as the reference
+// (approximator.cpp:305-350): 40-char bar, percent, current/total,
+// it/s, ETA with h/m segments only when nonzero.
+static void dg_progress_bar(size_t current, size_t total, double t0) {
+    const size_t width = 40;
+    const double frac = total ? (double)current / (double)total : 1.0;
+    const size_t n = (size_t)(frac * width);
+    const double elapsed = dg_wall_now() - t0;
+    const double rate = elapsed > 0 ? (double)current / elapsed : 0.0;
+    const double eta =
+        (rate > 0 && total > current) ? (double)(total - current) / rate : 0.0;
+    char bar[41];
+    for (size_t i = 0; i < width; i++)
+        bar[i] = i < n ? '=' : (i == n ? '>' : ' ');
+    bar[width] = 0;
+    long es = (long)eta;
+    long eh = es / 3600; es %= 3600;
+    long em = es / 60; es %= 60;
+    char hms[48];
+    if (eh) snprintf(hms, sizeof hms, "%ldh%ldm%lds", eh, em, es);
+    else if (em) snprintf(hms, sizeof hms, "%ldm%lds", em, es);
+    else snprintf(hms, sizeof hms, "%lds", es);
+    fprintf(stderr, "\r[%s] %3d%%  %zu/%zu  | %.1f it/s  | ETA %s         ",
+            bar, (int)(frac * 100), current, total, rate, hms);
+    if (current == total) fprintf(stderr, "\n");
+    fflush(stderr);
+}
 int32_t dg_diploid_dp(int64_t nv, int64_t L, int32_t R,
                       const int64_t* level_ptr,
                       const int64_t* adj_ptr, const int32_t* adj_v,
@@ -341,6 +376,9 @@ int32_t dg_diploid_dp(int64_t nv, int64_t L, int32_t R,
         max_color = std::max(max_color, het_colors[c]);
     std::vector<int32_t> cstamp(max_color + 1, -1), clocal(max_color + 1);
     int32_t stamp_version = -1;
+
+    int progress_next_pct = 0;
+    const double progress_t0 = dg_wall_now();
 
     for (int64_t l = 0; l + 1 < L; l++) {
         const int64_t b0 = level_ptr[l], b1 = level_ptr[l + 1], b2 = level_ptr[l + 2];
@@ -565,13 +603,17 @@ int32_t dg_diploid_dp(int64_t nv, int64_t L, int32_t R,
         }
         val.swap(nval_buf);
         shet.swap(nshet_buf);
-        if (progress && (l % 10000 == 0)) {
-            fprintf(stderr, "\r[dg_diploid_dp] level %lld/%lld", (long long)l,
-                    (long long)L);
-            fflush(stderr);
+        if (progress) {
+            // 1%-throttled live bar with it/s + ETA
+            // (reference: approximator.cpp:326-350, 550-557)
+            const int pct = (int)(((long long)(l + 1) * 100) / L);
+            if (l == 1 || pct >= progress_next_pct || l + 1 == L - 1) {
+                dg_progress_bar((size_t)(l + 1), (size_t)L, progress_t0);
+                while (progress_next_pct <= pct) progress_next_pct += 1;
+            }
         }
     }
-    if (progress) fprintf(stderr, "\r[dg_diploid_dp] done           \n");
+    if (progress) dg_progress_bar((size_t)L, (size_t)L, progress_t0);
 
     // ---- backtrack from (r=R, 0, 0) at the last level ----
     int32_t k_last = (int32_t)(level_ptr[L] - level_ptr[L - 1]);
