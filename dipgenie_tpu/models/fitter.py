@@ -343,7 +343,9 @@ def fit_histogram(
 
     if backend == "jax":
         nll = _grid_nll_jax(U, SD, VW, ZP, ZPH, PD, PE, SS, opt.max_copy, xs, ys)
-        exact_topk = max(exact_topk, 2048)  # f32 ranking noise margin
+        # f32 ranking noise seed; the adaptive window below guarantees the
+        # true argmin regardless of the seed size
+        exact_topk = max(exact_topk, 256)
     else:
         nll = _grid_nll_numpy(U, SD, VW, ZP, ZPH, PD, PE, SS, opt.max_copy, xs, ys)
     flat = nll.reshape(-1)
@@ -352,18 +354,40 @@ def fit_histogram(
     cand = np.sort(cand)  # loop order for tie-break
 
     shape = nll.shape
-    best_nll = math.inf
-    best_idx = -1
-    for ci in cand.tolist():
+
+    def exact_of(ci: int) -> float:
         iu, isd, ivw, izp, izph, ipd, ipe, iss = np.unravel_index(ci, shape)
-        e = _nll_exact(
+        return _nll_exact(
             float(U[iu]), float(SD[isd]), float(VW[ivw]), float(ZP[izp]),
             float(ZPH[izph]), float(PD[ipd]), float(PE[ipe]), float(SS[iss]),
             opt.max_copy, xs, ys,
         )
-        if e < best_nll:  # strict < + ascending ci == loop-order first min
-            best_nll = e
-            best_idx = ci
+
+    # Adaptive exact-re-eval window: the fixed top-K seed is only a
+    # heuristic when the vectorized grid (f32 on device) ranks near-ties
+    # wrongly. Grow the window until every unevaluated grid point's
+    # vectorized NLL exceeds the best exact NLL by more than the
+    # empirically observed approx-vs-exact error (x4 safety margin), at
+    # which point no excluded point can beat the current winner.
+    evaluated: dict[int, float] = {int(ci): exact_of(int(ci)) for ci in cand}
+    while True:
+        best_nll = math.inf
+        best_idx = -1
+        err_emp = 0.0
+        for ci in sorted(evaluated):  # ascending ci == loop-order ties
+            e = evaluated[ci]
+            err_emp = max(err_emp, abs(float(flat[ci]) - e))
+            if e < best_nll:
+                best_nll = e
+                best_idx = ci
+        bound = 4.0 * err_emp + 1e-9 * max(1.0, abs(best_nll))
+        need = np.nonzero(flat <= best_nll + bound)[0]
+        new = [int(ci) for ci in need.tolist() if int(ci) not in evaluated]
+        if not new:
+            break
+        for ci in new:
+            evaluated[ci] = exact_of(ci)
+
     iu, isd, ivw, izp, izph, ipd, ipe, iss = np.unravel_index(best_idx, shape)
     P = KGParams(
         zp_copy=float(ZP[izp]), zp_copy_het=float(ZPH[izph]), u_v=float(U[iu]),
