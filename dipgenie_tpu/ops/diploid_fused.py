@@ -15,13 +15,17 @@ ONE `lax.scan` over all L-1 transitions:
     `dynamic_slice` from per-bucket stacked arrays; `lax.switch` picks
     the bucket branch (fixed small shape for 96% of levels, wider
     shapes for the rest) so padding stays proportionate;
-  * the candidate max uses ONE packed int32 key per slot pair:
-        key = (V_pred + score) * 2^t + tie,   tie = slot pair (p, q)
-    Slot order equals predecessor-index order (edges are materialized
-    sorted by (dst, src) — see plan), so maximizing the slot tie is
-    exactly the reference tie-break "smaller pred_i, then smaller
-    pred_j" (approximator.cpp:655-659). No SH carry, no best_i/j
-    arrays: s_het is recomputed during the traceback.
+  * the candidate max is a lexicographic (value, tie) compare-and-
+    select:  value = V_pred + score,  tie = slot pair (p, q) encoded so
+    larger tie == smaller (p, q). Slot order equals predecessor-index
+    order (edges are materialized sorted by (dst, src) — see plan), so
+    maximizing the tie is exactly the reference tie-break "smaller
+    pred_i, then smaller pred_j" (approximator.cpp:655-659). Two int32
+    tensors instead of one packed key: packing value<<tie_bits into an
+    int32 overflows for P >= 64 (tie_bits >= 12) and needs fragile
+    sentinel range analysis; the explicit pair is range-safe for any P
+    and any DP value < 2^30. No SH carry, no best_i/j arrays: s_het is
+    recomputed during the traceback.
   * backpointers (the tie field) are written as int16 into per-bucket
     flat HBM buffers carried through the scan (in-place
     dynamic-update-slice), so the backward pass is a pure traceback —
@@ -44,6 +48,7 @@ import numpy as np
 
 NEG = -(2**19)  # unreachable sentinel; re-pinned each level (sticky)
 REACH_T = -(2**18)  # values above this are reachable
+INVALID = -(2**30)  # candidate value for padded/absent pred slots
 
 
 def _ceil_pow2(x: int, lo: int) -> int:
@@ -113,6 +118,7 @@ def plan_fused(
     need = []  # (B, P, W) per transition
     per = []  # cached per-transition raw pieces
     total_score_mass = 0
+    max_level_score = 0
     for l in range(L1):
         b0, b1, b2 = int(level_ptr[l]), int(level_ptr[l + 1]), int(level_ptr[l + 2])
         k, k2 = b1 - b0, b2 - b1
@@ -139,6 +145,17 @@ def plan_fused(
         uniq = np.unique(cs)
         Wl = max(1, (len(uniq) + 31) // 32)
         total_score_mass += 2 * len(cs)  # loose per-level max-score bound
+        max_level_score = max(max_level_score, 2 * len(cs))
+        if Pl > _P_LADDER[-1]:
+            raise ValueError(
+                f"level {l}: in-degree {Pl} > {_P_LADDER[-1]} pred slots; "
+                "use the chunked backend"
+            )
+        if Wl > _W_LADDER[-1]:
+            raise ValueError(
+                f"level {l}: {len(uniq)} distinct colours need {Wl} words "
+                f"> {_W_LADDER[-1]}; use the chunked backend"
+            )
         need.append((max(k, k2), Pl, Wl))
         per.append((k, k2, dsts_s, srcs_s, ws_s, indeg, uniq, b0, b1, b2))
 
@@ -196,13 +213,22 @@ def plan_fused(
     ]
     bindex = {qs: i for i, qs in enumerate(qshapes)}
 
-    # key overflow guard: key = cand * 2^tie_bits must fit int32 with
-    # cand bounded by total score mass (DP values only ever grow by score)
-    max_tb = max(b.tie_bits for b in buckets)
-    if total_score_mass >= (1 << (30 - max_tb)):
+    # range guards for the lexicographic max (see _branch_step):
+    #  * unreachable stickiness: a NEG-valued pred plus one level's score
+    #    must stay below REACH_T so re-pinning keeps it at NEG;
+    #  * value overflow: DP values only ever grow by score, so the total
+    #    score mass bounds every candidate value; INVALID = -2^30 must
+    #    stay strictly below NEG + 0 and cand + score must fit int32.
+    if max_level_score > REACH_T - NEG:  # need NEG + score <= REACH_T
         raise ValueError(
-            f"score mass {total_score_mass} too large for packed key with "
-            f"{max_tb} tie bits; use the chunked backend"
+            f"per-level score mass {max_level_score} exceeds the "
+            f"unreachable-sentinel margin {REACH_T - NEG}; "
+            "use the chunked backend"
+        )
+    if total_score_mass >= (1 << 30):
+        raise ValueError(
+            f"total score mass {total_score_mass} >= 2^30 would overflow "
+            "int32 DP values; use the chunked backend"
         )
 
     bid = np.zeros(L1, np.int32)
@@ -213,6 +239,18 @@ def plan_fused(
         bid[l] = i
         row[l] = counts[i]
         counts[i] += 1
+
+    # backpointer buffers are flat int16 arrays indexed with int32
+    # offsets (dynamic_update_slice on TPU) — every bucket buffer must
+    # stay below 2^31 elements
+    for i, b in enumerate(buckets):
+        nelem = (R + 1) * b.B * b.B * counts[i]
+        if nelem >= (1 << 31):
+            raise ValueError(
+                f"bucket {i} (B={b.B}) backpointer buffer {nelem} elements "
+                ">= 2^31: int32 offsets would overflow; use the chunked "
+                "backend"
+            )
 
     # ---- pass 2: fill stacked tables ----
     pi = [np.zeros((n, b.B, b.P), np.int32) for n, b in zip(counts, buckets)]
@@ -267,8 +305,7 @@ def _branch_step(R: int, bk: Bucket, Bmax: int):
     import jax.numpy as jnp
 
     B, P, W = bk.B, bk.P, bk.W
-    tb, qb = bk.tie_bits, bk.qbits
-    SCALE = jnp.int32(1 << tb)
+    qb = bk.qbits
 
     def pcs(x):
         return jax.lax.population_count(x).sum(-1).astype(jnp.int32)
@@ -288,9 +325,19 @@ def _branch_step(R: int, bk: Bucket, Bmax: int):
         HRu = Hr[:, None, :] | Hr[None, :, :]
         TRu = Tr[:, None, :] | Tr[None, :, :]
 
-        best = jnp.full((R + 1, B, B), jnp.int32(-(2**31) + 1), jnp.int32)
+        # lexicographic (value, tie) running max; see module docstring
+        best_v = jnp.full((R + 1, B, B), jnp.int32(INVALID), jnp.int32)
+        best_t = jnp.zeros((R + 1, B, B), jnp.int32)
 
-        def pair_key(best, p, q, ip, wp, mp, iq, wq, mq, tie):
+        def upd(best, cand, tie):
+            best_v, best_t = best
+            take = (cand > best_v) | ((cand == best_v) & (tie > best_t))
+            return (
+                jnp.where(take, cand, best_v),
+                jnp.where(take, tie, best_t),
+            )
+
+        def pair_cand(best, ip, wp, mp, iq, wq, mq, tie):
             """p-side on rows, q-side on cols; tie is an int32 scalar."""
             A = Vcat[:, ip + B * wp, :]
             As1 = jnp.concatenate([negrow, A[:R]], axis=0)
@@ -300,8 +347,10 @@ def _branch_step(R: int, bk: Bucket, Bmax: int):
             TLu = Tl[ip][:, None, :] | Tl[iq][None, :, :]
             score = pcs(HLu & HRu) + pcs(TLu ^ TRu)
             valid = (mp[:, None] & mq[None, :]) != 0
-            C = jnp.where(valid, score * SCALE + tie, jnp.int32(-(2**29)))
-            return jnp.maximum(best, Vg * SCALE + C[None])
+            cand = jnp.where(
+                valid[None], Vg + score[None], jnp.int32(INVALID)
+            )
+            return upd(best, cand, tie)
 
         if P <= 4:
             # unrolled; the row gather+shift per p is shared across q
@@ -317,10 +366,10 @@ def _branch_step(R: int, bk: Bucket, Bmax: int):
                     score = pcs(HLu & HRu) + pcs(TLu ^ TRu)
                     tie = jnp.int32(((P - 1 - p) << qb) | (P - 1 - q))
                     valid = (pmt[:, p][:, None] & pmt[:, q][None, :]) != 0
-                    C = jnp.where(
-                        valid, score * SCALE + tie, jnp.int32(-(2**29))
+                    cand = jnp.where(
+                        valid[None], Vg + score[None], jnp.int32(INVALID)
                     )
-                    best = jnp.maximum(best, Vg * SCALE + C[None])
+                    best_v, best_t = upd((best_v, best_t), cand, tie)
         else:
             # traced loop over slot pairs keeps the program small
             def body(pq, best):
@@ -333,17 +382,18 @@ def _branch_step(R: int, bk: Bucket, Bmax: int):
                     )
 
                 tie = ((jnp.int32(P - 1) - p) << qb) | (jnp.int32(P - 1) - q)
-                return pair_key(
-                    best, p, q,
+                return pair_cand(
+                    best,
                     col(pi, p), col(pwt, p), col(pmt, p),
                     col(pi, q), col(pwt, q), col(pmt, q), tie,
                 )
 
-            best = jax.lax.fori_loop(0, P * P, body, best)
+            best_v, best_t = jax.lax.fori_loop(
+                0, P * P, body, (best_v, best_t)
+            )
 
-        Vr = best >> tb
-        Vn = jnp.where(Vr > jnp.int32(REACH_T), Vr, jnp.int32(NEG))
-        bp = (best & (SCALE - 1)).astype(jnp.int16)
+        Vn = jnp.where(best_v > jnp.int32(REACH_T), best_v, jnp.int32(NEG))
+        bp = best_t.astype(jnp.int16)
 
         V_out = jax.lax.dynamic_update_slice(V_pad, Vn, (0, 0, 0))
         if B < Bmax:

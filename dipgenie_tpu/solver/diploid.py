@@ -274,6 +274,13 @@ def diploid_dp_solver(
         sink_val, sink_shet, transitions = DeviceDiploidDP(
             plan, R, mesh=mesh
         ).run()
+    elif backend == "fused":
+        from ..ops.diploid_fused import FusedDiploidDP, plan_fused
+
+        plan = plan_fused(*csr_arrays(g, color_homo_bv), R)
+        sink_val, sink_shet, transitions = FusedDiploidDP(plan).run(
+            verbose=progress
+        )
     else:
         Hm, Tm = build_color_masks(g, color_homo_bv)
         sink_val, sink_shet, transitions = _forward_exact(

@@ -48,7 +48,7 @@ class PipelineConfig:
     debug: bool = False
     verbose: bool = True
     progress: bool = False
-    dp_backend: str = "auto"  # exact | jax | native | auto
+    dp_backend: str = "auto"  # exact | jax | native | fused | auto
     sketch_backend: str = "host"  # host | device
     # optional jax.sharding.Mesh ("dp" x "tp"): reads shard over dp for
     # device sketching; the diploid DP state tiles over tp (SURVEY §7.6)
@@ -92,7 +92,7 @@ class Pipeline:
             backend = "native" if _native.available() else "exact"
         # native C++ builder (construction + Kahn reorder fused) unless the
         # exact tier was requested, which exercises the Python graph path
-        use_native_build = _native.available() and backend in ("native", "jax")
+        use_native_build = _native.available() and backend in ("native", "jax", "fused")
         if use_native_build:
             from ..graph.expanded import build_expanded_graph_native
 
@@ -118,7 +118,7 @@ class Pipeline:
             for c in range(build.num_colors):
                 if self.anchors.homo_bv[build.color_to_anchor[c]]:
                     color_homo_bv[c] = True
-            if backend in ("native", "jax") and _native.available():
+            if backend in ("native", "jax", "fused") and _native.available():
                 # C++ levelizer + CSR view (no Python list rebuild)
                 from ..graph.leveled import levelize_native
 

@@ -108,3 +108,92 @@ def test_native_dp_matches_exact_tier(seed):
     nv, ns, ntr = _forward_native(g, R, chb)
     assert (nv, ns) == (ev, es)
     assert ntr == etr
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_fused_dp_matches_exact_tier(seed):
+    from dipgenie_tpu.ops.diploid_fused import FusedDiploidDP, plan_fused
+    from dipgenie_tpu.solver.diploid import (
+        _forward_exact, build_color_masks, csr_arrays,
+    )
+
+    rng = np.random.default_rng(seed)
+    g = _random_leveled_graph(rng)
+    ncolors = 8
+    chb = [bool(x) for x in rng.random(ncolors) < 0.4]
+    R = 5
+
+    Hm, Tm = build_color_masks(g, chb)
+    ev, es, etr = _forward_exact(g, R, Hm, Tm)
+
+    plan = plan_fused(*csr_arrays(g, chb), R)
+    fv, fs, ftr = FusedDiploidDP(plan).run()
+    assert (fv, fs) == (ev, es)
+    assert ftr == etr
+
+
+def test_fused_dp_high_indegree():
+    """P >= 64 pred slots (tie_bits >= 12): the regime where the old
+    packed-int32-key formulation overflowed; the lexicographic
+    (value, tie) max must match the exact tier bit for bit."""
+    from dipgenie_tpu.ops.diploid_fused import FusedDiploidDP, plan_fused
+    from dipgenie_tpu.solver.diploid import (
+        _forward_exact, build_color_masks, csr_arrays,
+    )
+
+    rng = np.random.default_rng(7)
+    L, width = 5, 40
+    widths = [1] + [width] * (L - 2) + [1]
+    starts = np.cumsum([0] + widths)
+    n = int(starts[-1])
+    from dipgenie_tpu.graph.expanded import ExpandedGraph
+
+    g = ExpandedGraph(
+        adj_list=[[] for _ in range(n)],
+        color=[[] for _ in range(n)],
+        original_vertex=[[v] for v in range(n)],
+        haplotype=[0] * n,
+        level=[l for l, w in enumerate(widths) for _ in range(w)],
+        vertices_in_level=[
+            list(range(starts[l], starts[l + 1])) for l in range(L)
+        ],
+    )
+    for l in range(L - 1):
+        k2 = widths[l + 1]
+        for u in range(starts[l], starts[l + 1]):
+            # dense fan-out so next-level in-degree lands in the 64-slot
+            # bucket (> 32 preds on the wide levels)
+            for v in rng.choice(k2, size=min(k2, 36), replace=False):
+                g.adj_list[u].append(
+                    (int(starts[l + 1] + v), int(rng.random() < 0.2))
+                )
+    ncolors = 6
+    for v in range(n):
+        for c in rng.choice(ncolors, size=rng.integers(0, 3), replace=False):
+            g.color[v].append(int(c))
+        g.color[v].sort()
+    chb = [bool(x) for x in rng.random(ncolors) < 0.5]
+    R = 3
+
+    Hm, Tm = build_color_masks(g, chb)
+    ev, es, etr = _forward_exact(g, R, Hm, Tm)
+
+    plan = plan_fused(*csr_arrays(g, chb), R)
+    assert max(b.tie_bits for b in plan.buckets) >= 12
+    fv, fs, ftr = FusedDiploidDP(plan).run()
+    assert (fv, fs) == (ev, es)
+    assert ftr == etr
+
+
+def test_fused_plan_guards():
+    """plan_fused raises clear errors instead of silently clamping."""
+    from dipgenie_tpu.ops.diploid_fused import plan_fused
+    from dipgenie_tpu.solver.diploid import csr_arrays
+
+    rng = np.random.default_rng(3)
+    g = _random_leveled_graph(rng, L=6, kmax=4, ncolors=5000)
+    # flood one vertex with >4096 distinct colours -> W over the ladder
+    g.color[2] = list(range(4097))
+    chb = [True] * 5000
+    with pytest.raises(ValueError, match="distinct colours"):
+        plan_fused(*csr_arrays(g, chb), 5)

@@ -92,3 +92,19 @@ def test_toy_fit_params():
     assert round(a.fit.nll, 2) == 2.07
     assert a.count_sp_r == 7
     assert a.hap_minimizer_counts == [6, 6, 8, 8, 8]
+
+
+def test_toy_diploid_fused_backend_byte_identical(tmp_path):
+    """The fused single-dispatch DP behind --dp-backend fused produces
+    the same golden output through the full pipeline."""
+    gfa = ref_fixture("test.gfa")
+    reads = ref_fixture("read.fa")
+    out = tmp_path / "dip_fused.fa"
+    cfg = PipelineConfig(
+        k=5, w=3, recombination_limit=4, ploidy=2, verbose=False,
+        dp_backend="fused",
+    )
+    buf = io.StringIO()
+    Pipeline(gfa, reads, str(out), cfg).run(out=buf)
+    assert out.read_text() == TOY_DIP_GOLDEN
+    assert "DP value: 14" in buf.getvalue()
