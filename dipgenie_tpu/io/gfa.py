@@ -127,7 +127,57 @@ def _open_maybe_gz(fn: str):
     return _io.TextIOWrapper(f)
 
 
-def read_gfa(fn: str) -> Gfa:
+def read_gfa(fn: str, backend: str = "auto") -> Gfa:
+    """Parse + finalize a GFA file. backend: auto | native | python.
+
+    "auto" uses the C++ streaming parser (native/dgcore.cpp dg_gfa_run)
+    when the native runtime is available and falls back to the pure-Python
+    path below, which is also the behavioral oracle the native parser is
+    tested against (tests/test_native_build.py)."""
+    if backend in ("auto", "native"):
+        from .. import native as _native
+
+        if _native.available():
+            return _gfa_from_arrays(_native.read_gfa_arrays(fn))
+        if backend == "native":
+            raise RuntimeError("native runtime unavailable")
+    return read_gfa_python(fn)
+
+
+def _gfa_from_arrays(d: dict) -> Gfa:
+    """Assemble a Gfa from the native parser's flat arrays."""
+    g = Gfa()
+    nb = d["names"].tobytes()
+    sb = d["seqs"].tobytes()
+    no, so = d["name_off"], d["seq_off"]
+    has = d["has_seq"]
+    for i in range(d["nseg"]):
+        g.seg_names.append(nb[no[i] : no[i + 1]].decode("latin-1"))
+        g.seg_seqs.append(
+            sb[so[i] : so[i + 1]].decode("latin-1") if has[i] else None
+        )
+    g.seg_lens = d["seg_len"][: d["nseg"]].tolist()
+    g.seg_del = [bool(x) for x in d["seg_del"][: d["nseg"]]]
+    g.name2id = {nm: i for i, nm in enumerate(g.seg_names)}
+    g.arcs = [tuple(int(x) for x in row) for row in d["arcs"]]
+    smb = d["samples"].tobytes()
+    qnb = d["seqnames"].tobytes()
+    smo, qno, wvo = d["sample_off"], d["seqname_off"], d["wv_off"]
+    for i in range(d["nwalks"]):
+        g.walks.append(
+            Walk(
+                smb[smo[i] : smo[i + 1]].decode("latin-1"),
+                int(d["hap"][i]),
+                qnb[qno[i] : qno[i + 1]].decode("latin-1"),
+                int(d["st"][i]),
+                int(d["en"][i]),
+                d["wv"][wvo[i] : wvo[i + 1]].copy(),
+            )
+        )
+    return g
+
+
+def read_gfa_python(fn: str) -> Gfa:
     g = Gfa()
     is_fa = False
     fa_sid = -1

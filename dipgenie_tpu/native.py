@@ -102,6 +102,23 @@ def get_lib():
     lib.dg_fastx_seqs_len.restype = ctypes.c_int64
     lib.dg_fastx_fetch.restype = None
     lib.dg_fastx_fetch.argtypes = [c_u8p, c_u8p, c_i64p, c_i64p]
+    c_u32p = np.ctypeslib.ndpointer(np.uint32, flags="C")
+    lib.dg_gfa_run.restype = ctypes.c_int64
+    lib.dg_gfa_run.argtypes = [ctypes.c_char_p]
+    for nm in ("dg_gfa_names_len", "dg_gfa_seqs_len", "dg_gfa_narcs",
+               "dg_gfa_nwalks", "dg_gfa_wsamples_len", "dg_gfa_wseqnames_len",
+               "dg_gfa_wv_len"):
+        getattr(lib, nm).restype = ctypes.c_int64
+    lib.dg_gfa_fetch_segs.restype = None
+    lib.dg_gfa_fetch_segs.argtypes = [
+        c_u8p, c_i64p, c_u8p, c_i64p, c_i8p, c_i64p, c_i8p,
+    ]
+    lib.dg_gfa_fetch_arcs.restype = None
+    lib.dg_gfa_fetch_arcs.argtypes = [c_i64p]
+    lib.dg_gfa_fetch_walks.restype = None
+    lib.dg_gfa_fetch_walks.argtypes = [
+        c_u8p, c_i64p, c_u8p, c_i64p, c_i64p, c_i64p, c_i64p, c_u32p, c_i64p,
+    ]
     lib.dg_levelize_run.restype = ctypes.c_int32
     lib.dg_levelize_run.argtypes = [ctypes.c_int64, c_i64p, c_i32p, c_i8p]
     lib.dg_levelize_n.restype = ctypes.c_int64
@@ -188,6 +205,48 @@ def read_fastx(path: str):
         )
         for i in range(n)
     ]
+
+
+def read_gfa_arrays(path: str):
+    """Native GFA parse; returns the flat arrays of the finalized graph
+    (see dgcore.cpp dg_gfa_run). io/gfa.py assembles the Gfa object."""
+    lib = get_lib()
+    nseg = lib.dg_gfa_run(path.encode())
+    if nseg < 0:
+        raise OSError(f"cannot open {path}")
+    names = np.empty(max(lib.dg_gfa_names_len(), 1), np.uint8)
+    name_off = np.empty(nseg + 1, np.int64)
+    seqs = np.empty(max(lib.dg_gfa_seqs_len(), 1), np.uint8)
+    seq_off = np.empty(nseg + 1, np.int64)
+    has_seq = np.empty(max(nseg, 1), np.int8)
+    seg_len = np.empty(max(nseg, 1), np.int64)
+    seg_del = np.empty(max(nseg, 1), np.int8)
+    lib.dg_gfa_fetch_segs(names, name_off, seqs, seq_off, has_seq, seg_len,
+                          seg_del)
+    na = lib.dg_gfa_narcs()
+    arcs = np.empty(max(na * 5, 1), np.int64)
+    lib.dg_gfa_fetch_arcs(arcs)
+    nw = lib.dg_gfa_nwalks()
+    samples = np.empty(max(lib.dg_gfa_wsamples_len(), 1), np.uint8)
+    sample_off = np.empty(nw + 1, np.int64)
+    seqnames = np.empty(max(lib.dg_gfa_wseqnames_len(), 1), np.uint8)
+    seqname_off = np.empty(nw + 1, np.int64)
+    hap = np.empty(max(nw, 1), np.int64)
+    st = np.empty(max(nw, 1), np.int64)
+    en = np.empty(max(nw, 1), np.int64)
+    wv = np.empty(max(lib.dg_gfa_wv_len(), 1), np.uint32)
+    wv_off = np.empty(nw + 1, np.int64)
+    lib.dg_gfa_fetch_walks(samples, sample_off, seqnames, seqname_off,
+                           hap, st, en, wv, wv_off)
+    return {
+        "nseg": int(nseg), "names": names, "name_off": name_off,
+        "seqs": seqs, "seq_off": seq_off, "has_seq": has_seq,
+        "seg_len": seg_len, "seg_del": seg_del,
+        "arcs": arcs[: na * 5].reshape(-1, 5), "nwalks": int(nw),
+        "samples": samples, "sample_off": sample_off,
+        "seqnames": seqnames, "seqname_off": seqname_off,
+        "hap": hap, "st": st, "en": en, "wv": wv, "wv_off": wv_off,
+    }
 
 
 def sketch(seq_bytes: np.ndarray, k: int, w: int):

@@ -1386,6 +1386,415 @@ void dg_build_fetch(int64_t* adj_ptr, int32_t* adj_v, int8_t* adj_w,
     g_bd = BuildResult();
 }
 
+// ---------------------------------------------------------------------------
+// GFA v1.1 parser (S/L/W + embedded FASTA), walk canonicalization and
+// finalize — semantics of the reference's minigraph-derived C layer
+// (src/gfa-io.cpp:214-508, src/gfa-base.cpp:75-430) as re-specified by
+// the clean-room Python parser in dipgenie_tpu/io/gfa.py (the byte-level
+// golden oracle for this code; tests assert native == Python on every
+// fixture). Streaming gzip reader, flat-blob outputs for ctypes.
+// ---------------------------------------------------------------------------
+namespace {
+constexpr int64_t GFA_INT32_MAX = 2147483647;
+
+struct GfaResult {
+    // offset tables are size n+1 with a leading 0 (fastx fetch convention)
+    std::string names;  // concatenated segment names
+    std::vector<int64_t> name_off{0};
+    std::string seqs;  // concatenated sequences ("" when absent)
+    std::vector<int64_t> seq_off{0};
+    std::vector<int8_t> has_seq;
+    std::vector<int64_t> seg_len;
+    std::vector<int8_t> seg_del;
+    std::vector<int64_t> arcs;  // 5 per arc: v, w, ov, ow, comp
+    std::string wsamples;
+    std::vector<int64_t> wsample_off{0};
+    std::string wseqnames;
+    std::vector<int64_t> wseqname_off{0};
+    std::vector<int64_t> whap, wst, wen;
+    std::vector<uint32_t> wv;  // concatenated walk vertices (seg<<1|rev)
+    std::vector<int64_t> wv_off{0};
+};
+GfaResult g_gfa;
+
+static bool is_int_str(const char* s, const char* e) {
+    if (s >= e) return false;
+    if (*s == '-') s++;
+    if (s >= e) return false;
+    for (; s < e; s++)
+        if (*s < '0' || *s > '9') return false;
+    return true;
+}
+
+// L-line overlap field (gfa-io.cpp:298-319 semantics; io/gfa.py:77-110)
+static void parse_overlap(const char* s, const char* e, int64_t* ov,
+                          int64_t* ow) {
+    *ov = *ow = 0;
+    if (e - s == 1 && *s == '*') return;
+    if (s < e && *s == ':') {
+        *ov = GFA_INT32_MAX;
+        *ow = (s + 1 < e && s[1] >= '0' && s[1] <= '9') ? atoll(s + 1)
+                                                        : GFA_INT32_MAX;
+        return;
+    }
+    if (s < e && *s >= '0' && *s <= '9') {
+        const char* i = s;
+        while (i < e && *i >= '0' && *i <= '9') i++;
+        if (i < e && *i >= 'A' && *i <= 'Z') {  // CIGAR
+            int64_t a = 0, b = 0, num = 0;
+            for (const char* p = s; p < e; p++) {
+                if (*p >= '0' && *p <= '9') {
+                    num = num * 10 + (*p - '0');
+                } else {
+                    if (*p == 'M' || *p == 'D' || *p == 'N') a += num;
+                    if (*p == 'M' || *p == 'I' || *p == 'S') b += num;
+                    num = 0;
+                }
+            }
+            *ov = a;
+            *ow = b;
+            return;
+        }
+        if (i < e && *i == ':') {
+            *ov = atoll(s);
+            *ow = (i + 1 < e && i[1] >= '0' && i[1] <= '9') ? atoll(i + 1)
+                                                            : GFA_INT32_MAX;
+            return;
+        }
+        *ov = atoll(s);  // bare int, missing ow
+        *ow = GFA_INT32_MAX;
+    }
+}
+}  // namespace
+
+int64_t dg_gfa_run(const char* path) {
+    g_gfa = GfaResult();
+    gzFile fp = gzopen(path, "r");
+    if (!fp) return -1;
+    gzbuffer(fp, 1 << 20);
+    char buf[1 << 16];
+    std::string line;
+    auto getline_gz = [&](std::string& out) -> bool {
+        out.clear();
+        while (true) {
+            if (gzgets(fp, buf, sizeof(buf)) == nullptr) return !out.empty();
+            out += buf;
+            if (!out.empty() && out.back() == '\n') {
+                out.pop_back();
+                return true;
+            }
+        }
+    };
+
+    std::unordered_map<std::string, int32_t> name2id;
+    name2id.reserve(1 << 18);
+    auto add_seg = [&](const std::string& nm) -> int32_t {
+        auto it = name2id.find(nm);
+        if (it != name2id.end()) return it->second;
+        int32_t sid = (int32_t)g_gfa.seg_len.size();
+        name2id.emplace(nm, sid);
+        g_gfa.names += nm;
+        g_gfa.name_off.push_back((int64_t)g_gfa.names.size());
+        g_gfa.seq_off.push_back((int64_t)g_gfa.seqs.size());
+        g_gfa.has_seq.push_back(0);
+        g_gfa.seg_len.push_back(0);
+        g_gfa.seg_del.push_back(0);
+        return sid;
+    };
+    // sequences land in per-segment slots appended possibly out of order;
+    // buffer them and rebuild the blob at the end
+    std::vector<std::string> seq_by_seg;
+    auto set_seq = [&](int32_t sid, std::string s) {
+        if ((size_t)sid >= seq_by_seg.size()) seq_by_seg.resize(sid + 1);
+        seq_by_seg[sid] = std::move(s);
+        g_gfa.has_seq[sid] = 1;
+        g_gfa.seg_len[sid] = (int64_t)seq_by_seg[sid].size();
+    };
+
+    bool is_fa = false;
+    int32_t fa_sid = -1;
+    std::string fa_seq;
+    auto finish_fa = [&]() {
+        if (fa_sid >= 0) {
+            set_seq(fa_sid, fa_seq);
+            fa_seq.clear();
+            fa_sid = -1;
+        }
+    };
+
+    std::vector<const char*> f;  // field starts
+    std::vector<const char*> fe;  // field ends
+    while (getline_gz(line)) {
+        if (!line.empty() && line.back() == '\r') line.pop_back();
+        if (!line.empty() && line[0] == '>') {  // embedded FASTA header
+            is_fa = true;
+            finish_fa();
+            char nm[32];
+            snprintf(nm, sizeof(nm), "s%zu", g_gfa.seg_len.size() + 1);
+            fa_sid = add_seg(nm);
+            continue;
+        }
+        if (is_fa) {
+            if (line.size() >= 3 && line[1] == '\t') {
+                finish_fa();
+                is_fa = false;
+            } else {
+                fa_seq += line;
+                continue;
+            }
+        }
+        if (line.size() < 3 || line[1] != '\t') continue;
+        char tag = line[0];
+        if (tag != 'S' && tag != 'L' && tag != 'W') continue;
+        f.clear();
+        fe.clear();
+        const char* p = line.c_str();
+        const char* end = p + line.size();
+        const char* st = p;
+        for (const char* q = p; q <= end; q++) {
+            if (q == end || *q == '\t') {
+                f.push_back(st);
+                fe.push_back(q);
+                st = q + 1;
+            }
+        }
+        auto fs = [&](size_t i) { return std::string(f[i], fe[i]); };
+        if (tag == 'S') {
+            if (f.size() < 3) continue;
+            int32_t sid = add_seg(fs(1));
+            if (fe[2] - f[2] == 1 && *f[2] == '*') {
+                if ((size_t)sid < seq_by_seg.size()) seq_by_seg[sid].clear();
+                g_gfa.has_seq[sid] = 0;
+                g_gfa.seg_len[sid] = 0;
+                for (size_t i = 3; i < f.size(); i++) {  // first LN:i: tag
+                    if (fe[i] - f[i] > 5 && !strncmp(f[i], "LN:i:", 5)) {
+                        g_gfa.seg_len[sid] = atoll(f[i] + 5);
+                        break;
+                    }
+                }
+            } else {
+                set_seq(sid, fs(2));
+            }
+        } else if (tag == 'L') {
+            if (f.size() < 5) continue;
+            char ov_c = *f[2], ow_c = *f[4];
+            if ((ov_c != '+' && ov_c != '-') || (ow_c != '+' && ow_c != '-'))
+                continue;
+            if (fe[2] - f[2] != 1 || fe[4] - f[4] != 1) continue;
+            int64_t ov = 0, ow = 0;
+            if (f.size() > 5) parse_overlap(f[5], fe[5], &ov, &ow);
+            int64_t v = ((int64_t)add_seg(fs(1)) << 1) | (ov_c == '-');
+            int64_t w = ((int64_t)add_seg(fs(3)) << 1) | (ow_c == '-');
+            g_gfa.arcs.insert(g_gfa.arcs.end(), {v, w, ov, ow, 0});
+        } else {  // W
+            if (f.size() < 7) continue;
+            g_gfa.wsamples += fs(1);
+            g_gfa.wsample_off.push_back((int64_t)g_gfa.wsamples.size());
+            g_gfa.whap.push_back(is_int_str(f[2], fe[2]) ? atoll(f[2]) : 0);
+            g_gfa.wseqnames += fs(3);
+            g_gfa.wseqname_off.push_back((int64_t)g_gfa.wseqnames.size());
+            g_gfa.wst.push_back(is_int_str(f[4], fe[4]) ? atoll(f[4]) : 0);
+            g_gfa.wen.push_back(is_int_str(f[5], fe[5]) ? atoll(f[5]) : 0);
+            const char* q = f[6];
+            const char* qe = fe[6];
+            std::string nm;
+            while (q < qe) {
+                char ori = *q;
+                if (ori != '<' && ori != '>') break;
+                const char* r = q + 1;
+                while (r < qe && *r != '<' && *r != '>') r++;
+                nm.assign(q + 1, r);
+                auto it = name2id.find(nm);  // lookup only (gfa-io.cpp:399)
+                if (it != name2id.end())
+                    g_gfa.wv.push_back(((uint32_t)it->second << 1) |
+                                       (ori == '<'));
+                q = r;
+            }
+            g_gfa.wv_off.push_back((int64_t)g_gfa.wv.size());
+        }
+    }
+    finish_fa();
+    gzclose(fp);
+
+    int64_t nseg = (int64_t)g_gfa.seg_len.size();
+    int64_t nwalk = (int64_t)g_gfa.wv_off.size() - 1;
+
+    // rebuild the sequence blob in segment order
+    g_gfa.seqs.clear();
+    for (int64_t s = 0; s < nseg; s++) {
+        if (g_gfa.has_seq[s] && (size_t)s < seq_by_seg.size())
+            g_gfa.seqs += seq_by_seg[s];
+        g_gfa.seq_off[s + 1] = (int64_t)g_gfa.seqs.size();
+    }
+    seq_by_seg.clear();
+
+    // walk flip by majority strand vs first appearance (gfa-io.cpp:64-115)
+    {
+        std::vector<int8_t> strand(nseg, 0);
+        for (int64_t wi = 0; wi < nwalk; wi++) {
+            int64_t b = g_gfa.wv_off[wi], e = g_gfa.wv_off[wi + 1];
+            for (int64_t t = b; t < e; t++) {
+                uint32_t v = g_gfa.wv[t];
+                if (strand[v >> 1] == 0) strand[v >> 1] = (v & 1) ? -1 : 1;
+            }
+        }
+        for (int64_t wi = 0; wi < nwalk; wi++) {
+            int64_t b = g_gfa.wv_off[wi], e = g_gfa.wv_off[wi + 1];
+            int64_t match = 0;
+            for (int64_t t = b; t < e; t++) {
+                uint32_t v = g_gfa.wv[t];
+                int8_t s = (v & 1) ? -1 : 1;
+                if (s == strand[v >> 1]) match++;
+            }
+            if (match >= (e - b) - match) continue;
+            std::reverse(g_gfa.wv.begin() + b, g_gfa.wv.begin() + e);
+            for (int64_t t = b; t < e; t++) g_gfa.wv[t] ^= 1u;
+        }
+    }
+
+    // finalize (gfa-base.cpp:421-430 semantics; io/gfa.py:267-338)
+    {
+        for (int64_t s = 0; s < nseg; s++)
+            if (g_gfa.seg_len[s] == 0) g_gfa.seg_del[s] = 1;
+
+        int64_t na = (int64_t)g_gfa.arcs.size() / 5;
+        struct Arc {
+            int64_t v, w, ov, ow, comp;
+        };
+        std::vector<Arc> arcs(na);
+        for (int64_t i = 0; i < na; i++)
+            arcs[i] = {g_gfa.arcs[5 * i], g_gfa.arcs[5 * i + 1],
+                       g_gfa.arcs[5 * i + 2], g_gfa.arcs[5 * i + 3],
+                       g_gfa.arcs[5 * i + 4]};
+        std::stable_sort(arcs.begin(), arcs.end(),
+                         [](const Arc& a, const Arc& b) { return a.v < b.v; });
+
+        std::unordered_map<int64_t, std::vector<int64_t>> by_head;
+        by_head.reserve(arcs.size() * 2);
+        for (int64_t i = 0; i < na; i++) by_head[arcs[i].v].push_back(i);
+
+        std::vector<int8_t> deleted(na, 0);
+        // fix_semi_arc (gfa-base.cpp:235-267)
+        for (int64_t i = 0; i < na; i++) {
+            Arc& a = arcs[i];
+            if (deleted[i] ||
+                (a.ov != GFA_INT32_MAX && a.ow != GFA_INT32_MAX))
+                continue;
+            int64_t wcomp = a.w ^ 1;
+            int64_t cand = -1, ncand = 0;
+            auto it = by_head.find(wcomp);
+            if (it != by_head.end()) {
+                for (int64_t j : it->second) {
+                    if (!deleted[j] && arcs[j].w == (a.v ^ 1)) {
+                        cand = j;
+                        ncand++;
+                    }
+                }
+            }
+            if (ncand == 1) {
+                Arc& b = arcs[cand];
+                bool is_multi =
+                    (a.ov != GFA_INT32_MAX && b.ow != GFA_INT32_MAX &&
+                     a.ov != b.ow) ||
+                    (a.ow != GFA_INT32_MAX && b.ov != GFA_INT32_MAX &&
+                     a.ow != b.ov);
+                if (!is_multi) {
+                    if (b.ov != GFA_INT32_MAX) a.ow = b.ov;
+                    if (b.ow != GFA_INT32_MAX) a.ov = b.ow;
+                    continue;
+                }
+            }
+            deleted[i] = 1;
+        }
+        // fix_symm_add (gfa-base.cpp:269-304)
+        std::vector<Arc> extra;
+        for (int64_t i = 0; i < na; i++) {
+            Arc& a = arcs[i];
+            if (deleted[i] || a.comp) continue;
+            bool found = false;
+            auto it = by_head.find(a.w ^ 1);
+            if (it != by_head.end()) {
+                for (int64_t j : it->second) {
+                    if (deleted[j] || arcs[j].comp) continue;
+                    Arc& b = arcs[j];
+                    if (b.w == (a.v ^ 1) && b.ov == a.ow && b.ow == a.ov) {
+                        b.comp = 1;
+                        found = true;
+                        break;
+                    }
+                }
+            }
+            if (!found) extra.push_back({a.w ^ 1, a.v ^ 1, a.ow, a.ov, 1});
+        }
+        arcs.insert(arcs.end(), extra.begin(), extra.end());
+        deleted.resize(arcs.size(), 0);
+
+        std::vector<Arc> fin;
+        fin.reserve(arcs.size());
+        for (size_t i = 0; i < arcs.size(); i++) {
+            const Arc& a = arcs[i];
+            if (deleted[i]) continue;
+            if (g_gfa.seg_del[a.v >> 1] || g_gfa.seg_del[a.w >> 1]) continue;
+            fin.push_back(a);
+        }
+        auto keyof = [&](const Arc& a) {
+            int64_t ov = a.ov == GFA_INT32_MAX ? 0 : a.ov;
+            return std::make_pair(a.v, g_gfa.seg_len[a.v >> 1] - ov);
+        };
+        std::stable_sort(fin.begin(), fin.end(),
+                         [&](const Arc& a, const Arc& b) {
+                             return keyof(a) < keyof(b);
+                         });
+        g_gfa.arcs.clear();
+        for (const Arc& a : fin)
+            g_gfa.arcs.insert(g_gfa.arcs.end(),
+                              {a.v, a.w, a.ov, a.ow, a.comp});
+    }
+    return nseg;
+}
+
+int64_t dg_gfa_names_len() { return (int64_t)g_gfa.names.size(); }
+int64_t dg_gfa_seqs_len() { return (int64_t)g_gfa.seqs.size(); }
+int64_t dg_gfa_narcs() { return (int64_t)g_gfa.arcs.size() / 5; }
+int64_t dg_gfa_nwalks() { return (int64_t)g_gfa.wv_off.size() - 1; }
+int64_t dg_gfa_wsamples_len() { return (int64_t)g_gfa.wsamples.size(); }
+int64_t dg_gfa_wseqnames_len() { return (int64_t)g_gfa.wseqnames.size(); }
+int64_t dg_gfa_wv_len() { return (int64_t)g_gfa.wv.size(); }
+
+void dg_gfa_fetch_segs(uint8_t* names, int64_t* name_off, uint8_t* seqs,
+                       int64_t* seq_off, int8_t* has_seq, int64_t* seg_len,
+                       int8_t* seg_del) {
+    memcpy(names, g_gfa.names.data(), g_gfa.names.size());
+    memcpy(name_off, g_gfa.name_off.data(), g_gfa.name_off.size() * 8);
+    memcpy(seqs, g_gfa.seqs.data(), g_gfa.seqs.size());
+    memcpy(seq_off, g_gfa.seq_off.data(), g_gfa.seq_off.size() * 8);
+    memcpy(has_seq, g_gfa.has_seq.data(), g_gfa.has_seq.size());
+    memcpy(seg_len, g_gfa.seg_len.data(), g_gfa.seg_len.size() * 8);
+    memcpy(seg_del, g_gfa.seg_del.data(), g_gfa.seg_del.size());
+}
+
+void dg_gfa_fetch_arcs(int64_t* arcs) {
+    memcpy(arcs, g_gfa.arcs.data(), g_gfa.arcs.size() * 8);
+}
+
+void dg_gfa_fetch_walks(uint8_t* samples, int64_t* sample_off,
+                        uint8_t* seqnames, int64_t* seqname_off,
+                        int64_t* hap, int64_t* st, int64_t* en, uint32_t* wv,
+                        int64_t* wv_off) {
+    memcpy(samples, g_gfa.wsamples.data(), g_gfa.wsamples.size());
+    memcpy(sample_off, g_gfa.wsample_off.data(),
+           g_gfa.wsample_off.size() * 8);
+    memcpy(seqnames, g_gfa.wseqnames.data(), g_gfa.wseqnames.size());
+    memcpy(seqname_off, g_gfa.wseqname_off.data(),
+           g_gfa.wseqname_off.size() * 8);
+    memcpy(hap, g_gfa.whap.data(), g_gfa.whap.size() * 8);
+    memcpy(st, g_gfa.wst.data(), g_gfa.wst.size() * 8);
+    memcpy(en, g_gfa.wen.data(), g_gfa.wen.size() * 8);
+    memcpy(wv, g_gfa.wv.data(), g_gfa.wv.size() * 4);
+    memcpy(wv_off, g_gfa.wv_off.data(), g_gfa.wv_off.size() * 8);
+    g_gfa = GfaResult();
+}
+
 const char* dg_version() { return "dgcore 0.1"; }
 
 }  // extern "C"

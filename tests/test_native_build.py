@@ -120,3 +120,42 @@ def test_haploid_pipeline_csr_matches_python(tmp_path):
         Pipeline(gfa, reads, str(out), cfg).run(out=io.StringIO())
         outs.append(out.read_bytes())
     assert outs[0] == outs[1]
+
+
+@pytest.mark.parametrize("fixture", ["test.gfa", "test2.gfa"])
+def test_native_gfa_parser_matches_python(fixture):
+    """dg_gfa_run == the Python parser on every field (io/gfa.py is the
+    behavioral oracle; reference semantics src/gfa-io.cpp:214-508)."""
+    from dipgenie_tpu.io.gfa import read_gfa_python
+
+    fn = ref_fixture(fixture)
+    a = read_gfa(fn, backend="native")
+    b = read_gfa_python(fn)
+    assert a.seg_names == b.seg_names
+    assert a.seg_seqs == b.seg_seqs
+    assert a.seg_lens == list(b.seg_lens)
+    assert a.seg_del == b.seg_del
+    assert a.name2id == b.name2id
+    assert a.arcs == b.arcs
+    assert len(a.walks) == len(b.walks)
+    for wa, wb in zip(a.walks, b.walks):
+        assert (wa.sample, wa.hap, wa.seqname, wa.st, wa.en) == (
+            wb.sample, wb.hap, wb.seqname, wb.st, wb.en)
+        assert (wa.v == wb.v).all()
+
+
+def test_native_gfa_parser_embedded_fasta(tmp_path):
+    """Embedded-FASTA mode (gfa-io.cpp:479-499): auto-named segments."""
+    from dipgenie_tpu.io.gfa import read_gfa_python
+
+    fn = tmp_path / "emb.gfa"
+    fn.write_text(
+        ">frag\nACGTACGT\nACGT\n"
+        "S\ts2\tGGGG\n"
+        "L\ts1\t+\ts2\t+\t0M\n"
+    )
+    a = read_gfa(str(fn), backend="native")
+    b = read_gfa_python(str(fn))
+    assert a.seg_names == b.seg_names == ["s1", "s2"]
+    assert a.seg_seqs == b.seg_seqs == ["ACGTACGTACGT", "GGGG"]
+    assert a.arcs == b.arcs
