@@ -18,6 +18,8 @@ THREADS=${6:-$(nproc)}
 R=${R:-18}
 # extra CLI flags (e.g. "-k 5 -w 3" for small test fixtures)
 DIPGENIE_ARGS=${DIPGENIE_ARGS:-}
+# interpreter override (CI points this at the venv python)
+PYTHON=${PYTHON:-python3}
 
 mkdir -p "$OUT_DIR"
 while read -r SAMPLE; do
@@ -27,7 +29,7 @@ while read -r SAMPLE; do
     o="$OUT_DIR/${SAMPLE}_${COV}"
     mkdir -p "$o"
     echo "[run_batch] $SAMPLE ($COV)"
-    python -m dipgenie_tpu -t "$THREADS" -p 2 -R "$R" $DIPGENIE_ARGS \
+    "$PYTHON" -m dipgenie_tpu -t "$THREADS" -p 2 -R "$R" $DIPGENIE_ARGS \
         -g "$g" -r "$r" -o "$o/full.fa" 2> "$o/log.txt"
     # split the 2-record FASTA for downstream VCF generation
     awk '/^>/{n++} n==1' "$o/full.fa" > "$o/full_1.fa"

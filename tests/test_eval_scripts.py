@@ -53,7 +53,7 @@ def test_run_batch_on_toy_fixture(tmp_path):
     samples.write_text("S1\n")
 
     env = dict(os.environ, PYTHONPATH=REPO, R="4",
-               DIPGENIE_ARGS="-k 5 -w 3")
+               DIPGENIE_ARGS="-k 5 -w 3", PYTHON=sys.executable)
     r = subprocess.run(
         ["bash", os.path.join(SCRIPTS, "run_batch.sh"), str(samples),
          str(graph), str(reads), str(outd), "2x", "1"],
