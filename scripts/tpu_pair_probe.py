@@ -45,13 +45,14 @@ NP2 = B * B  # pair lanes
 def make_tables(T, seed=0):
     """Random level chain (same graph family as tpu_edge_probe).
 
-    Returns tbl [T, 8, NP2] int32 with rows: 0 gidx (wsum*NP2+srcpair),
-    1 score, 2 tie, 3 dstpair segment id, 4 lastE (last e12 per dstpair,
-    -1 if none); rows 5-7 spare (TPU blocks need sublane multiples of 8).
+    Returns tbl [T, 8, NP2] int32 with rows: 0 gidx (srcpair lane),
+    1 score, 2 tie (slotcode, larger = preferred), 3 dstpair segment id,
+    4 lastE (last e12 per dstpair, -1 if none), 5 wsum; rows 6-7 spare
+    (TPU blocks need sublane multiples of 8).
     """
     rng = np.random.default_rng(seed)
     tbl = np.zeros((T, 8, NP2), np.int32)
-    gidx, sc, tie, seg, lastE = (tbl[:, i] for i in range(5))
+    gidx, sc, tie, seg, lastE, wsum = (tbl[:, i] for i in range(6))
     hostE = []
     for t in range(T):
         dst = np.concatenate([np.arange(B), rng.integers(0, B, EB - B)])
@@ -67,9 +68,10 @@ def make_tables(T, seed=0):
         dp = dst[e1] * B + dst[e2]
         po = np.lexsort((e2, e1, dp))
         e1, e2, dp = e1[po], e2[po], dp[po]
-        gidx[t] = (w[e1] + w[e2]) * NP2 + (src[e1] * B + src[e2])
+        gidx[t] = src[e1] * B + src[e2]
+        wsum[t] = w[e1] + w[e2]
         sc[t] = s2[e1, e2]
-        tie[t] = (EB - 1 - e1) * EB + (EB - 1 - e2)
+        tie[t] = NP2 - 1 - np.arange(NP2)  # lane-monotone slotcode
         seg[t] = dp
         le = np.full(NP2, -1, np.int32)
         le[dp] = np.arange(NP2)  # increasing, so last write wins
@@ -112,25 +114,34 @@ def kernel(off_ref, tbl_ref, bp_ref, v_ref, V):
     tiev = tbl[2]
     seg = tbl[3]
     lastE = tbl[4]
+    wsum = tbl[5]
 
     v = V[...]  # [R1, NP2] int32
-    ri = jax.lax.broadcasted_iota(jnp.int32, (R1, NP2), 0)
-    v1 = jnp.where(ri >= 1, pltpu.roll(v, 1, 0), NEG)
-    v2 = jnp.where(ri >= 2, pltpu.roll(v, 2, 0), NEG)
-    vx = jnp.concatenate([v, v1, v2], axis=1).astype(jnp.float32)  # [R1, 3*NP2]
 
-    # one-hot gather matrix G[g, e12] = (gidx[e12] == g)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (3 * NP2, NP2), 0)
+    # one-hot gather matrix G[g, e12] = (gidx[e12] == g); the r-shift by
+    # wsum is applied AFTER the lane gather (roll in r commutes with a
+    # per-lane gather), so G is NP2-wide, not 3*NP2-wide
+    rows = jax.lax.broadcasted_iota(jnp.int32, (NP2, NP2), 0)
     G = (rows == gidx[None, :]).astype(jnp.float32)
-    cand = jax.lax.dot_general(
-        vx, G, dimension_numbers=(((1,), (0,)), ((), ())),
+    g0 = jax.lax.dot_general(
+        v.astype(jnp.float32), G,
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(jnp.int32)  # [R1, NP2]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (R1, NP2), 0)
+    g1 = jnp.where(ri >= 1, pltpu.roll(g0, 1, 0), NEG)
+    g2 = jnp.where(ri >= 2, pltpu.roll(g0, 2, 0), NEG)
+    wb = wsum[None, :]
+    cand = jnp.where(wb == 0, g0, jnp.where(wb == 1, g1, g2))
 
-    kv = jnp.where(cand < REACH_T, jnp.int32(INVALID), cand + sc[None, :])
-    kt = jnp.broadcast_to(tiev[None, :], (R1, NP2))
+    # packed key: (value << 8) | slotcode  (larger slotcode = preferred;
+    # exact for |value + score| < 2^22, guarded at plan time)
+    kv = jnp.where(
+        cand < REACH_T, jnp.int32(INVALID),
+        (cand + sc[None, :]) * 256 + tiev[None, :],
+    )
 
-    # segmented inclusive lexicographic max-scan over lanes (e12 axis)
+    # segmented inclusive max-scan over lanes (e12 axis), single key
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, NP2), 1)
     segb = seg[None, :]
     s = 1
@@ -138,26 +149,23 @@ def kernel(off_ref, tbl_ref, bp_ref, v_ref, V):
         conn = (lane >= s) & (segb == pltpu.roll(segb, s, 1))
         m = jnp.broadcast_to(conn, (R1, NP2))
         sv = pltpu.roll(kv, s, 1)
-        st = pltpu.roll(kt, s, 1)
-        take = m & ((sv > kv) | ((sv == kv) & (st > kt)))
-        kv = jnp.where(take, sv, kv)
-        kt = jnp.where(take, st, kt)
+        kv = jnp.where(m & (sv > kv), sv, kv)
         s *= 2
 
-    # extract segment ends: E[e12, d12] = (lastE[d12] == e12)
+    # unpack, then extract segment ends with ONE stacked matmul
+    vfin = jax.lax.shift_right_arithmetic(kv, 8)
+    slot = jnp.bitwise_and(kv, 255)
+    OFF = jnp.int32(1 << 22)  # makes extracted values strictly positive
+    stacked = jnp.concatenate([vfin + OFF, slot + 1], axis=0)  # [2*R1, NP2]
     rowsE = jax.lax.broadcasted_iota(jnp.int32, (NP2, NP2), 0)
     E = (rowsE == lastE[None, :]).astype(jnp.float32)
-    zv = jax.lax.dot_general(
-        kv.astype(jnp.float32), E,
+    ex = jax.lax.dot_general(
+        stacked.astype(jnp.float32), E,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)
-    zt = jax.lax.dot_general(
-        kt.astype(jnp.float32), E,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)
-    zv = jnp.where(lastE[None, :] >= 0, zv, jnp.int32(INVALID))
+    ).astype(jnp.int32)  # [2*R1, NP2]
+    zv = jnp.where(ex[:R1] > 0, ex[:R1] - OFF, jnp.int32(INVALID))
+    zt = ex[R1:] - 1
 
     reach = zv > REACH_T
     V[...] = jnp.where(reach, zv, jnp.int32(NEG))
