@@ -1,0 +1,1005 @@
+"""Pallas megakernel diploid pair DP (pair-space formulation).
+
+The third-generation device tier. The chunked tier (ops/diploid_jax.py)
+is dispatch-bound on remote-attached TPUs (~7k executable launches per
+MHC run at ~0.06 ms each); the fused XLA scan tier (ops/diploid_fused.py)
+is a single dispatch but its multi-GB backpointer carry defeats XLA's
+in-place aliasing on real TPUs. This tier reformulates the transition in
+PAIR SPACE and runs each maximal run of narrow levels (width <= 32) as
+ONE `pallas_call`, with wide levels handled by per-gap XLA scans:
+
+  * DP state V[r, s] with s = i*Bcls + j packed into full 128-lane
+    vectors (Bcls in {16, 32} per level width); a narrow transition's
+    edge pairs are host-sorted by (dstpair, pred_i, pred_j, edge order)
+    and processed in chunks of 256 pairs per Pallas grid step;
+  * the predecessor gather is ONE f32 MXU matmul against an in-kernel
+    one-hot (exact: all values < 2^24); the recombination shift by
+    wsum in {0,1,2} is applied after the gather (a roll over r commutes
+    with a per-lane gather);
+  * the dst-pair max is a segmented inclusive max-scan over lanes on a
+    packed key (value*256 | slotcode) — larger slotcode == earlier
+    pair == preferred, which is exactly the reference tie-break
+    (value, then smaller pred_i, then smaller pred_j, then edge order;
+    approximator.cpp:655-659 semantics via solver/diploid.py);
+  * multi-chunk transitions merge through VMEM accumulators with a
+    strict > on the value (earlier chunk wins ties = earlier pair);
+  * backpointers (global pair ordinal per state) leave the kernel
+    through pipelined output blocks whose prefetch-scalar index maps
+    advance once per transition — Pallas flushes a block exactly when
+    its index changes, giving variable-rate outputs without the manual
+    HBM DMA that Mosaic cannot compile at unaligned dynamic offsets;
+  * wide transitions (width > 32, ~3% of levels, in ~300 contiguous
+    gaps on MHC) run as one XLA `lax.scan` per gap on the same pair
+    tables: XLA-native gather + segmented lexicographic
+    `associative_scan` + segment-end extraction;
+  * scores (hom/het colour popcounts, approximator.cpp:269-311) are
+    precomputed per edge pair on the host with vectorized numpy — they
+    are pure functions of the transition, so the device loop only adds
+    and maxes;
+  * traceback is a reverse scan per segment reading the spilled
+    backpointers; s_het is recomputed from per-pair het scores.
+
+Reference: src/approximator.cpp:362-716 (semantics only). Output
+contract matches the exact tier bit for bit:
+run() -> (sink_value, sink_s_het, transitions).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+NEG = -(2**19)  # unreachable sentinel, re-pinned every level
+REACH_T = -(2**18)  # values above this are reachable
+INVALID = -(2**30)  # packed-key / candidate sentinel
+PAD_SC = -(2**22)  # score of padded pair lanes (loses every max)
+CHUNK = 2**8  # pair lanes per narrow Pallas step
+NARROW_W = 32  # widest level handled by the Pallas kernel
+
+
+# --------------------------------------------------------------------
+# host-side colour mask -> per-pair score machinery
+# --------------------------------------------------------------------
+
+_POP16 = np.array(
+    [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8
+)
+
+
+def _popcount(a: np.ndarray) -> np.ndarray:
+    """Elementwise popcount of uint32/uint64 arrays (numpy-version safe)."""
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(a)
+    v = a.view(np.uint16) if a.dtype != np.uint16 else a
+    return (
+        _POP16[v]
+        .reshape(a.shape + (a.dtype.itemsize // 2,))
+        .sum(-1)
+        .astype(np.uint8)
+    )
+
+
+def _level_masks(vs, ve, ptr, colors, uniq):
+    """[ve-vs, W] uint32 colour bitsets over the local colour universe."""
+    cnt = ve - vs
+    W = max(1, (len(uniq) + 31) // 32)
+    m = np.zeros((cnt, W), np.uint32)
+    seg = colors[ptr[vs] : ptr[ve]]
+    if len(seg):
+        loc = np.searchsorted(uniq, seg).astype(np.int64)
+        rows = np.repeat(
+            np.arange(cnt, dtype=np.int64),
+            np.diff(ptr[vs : ve + 1]).astype(np.int64),
+        )
+        np.bitwise_or.at(
+            m, (rows, loc // 32), np.uint32(1) << (loc % 32).astype(np.uint32)
+        )
+    return m
+
+
+# --------------------------------------------------------------------
+# plan
+# --------------------------------------------------------------------
+
+
+@dataclass
+class _NarrowRun:
+    t0: int  # first transition index (global)
+    t1: int  # one past last
+    tbl: np.ndarray  # [nchunks_pad, 8, CHUNK] int32 streamed blocks
+    w1: np.ndarray  # [nchunks, CHUNK] int8   (traceback only)
+    symd: np.ndarray  # [nchunks, CHUNK] int16 (traceback only)
+    sbits: np.ndarray  # [nchunks_pad] int32 bit0 in1024 bit1 out1024 b2 first b3 last
+    sbase: np.ndarray  # [nchunks_pad] int32 chunk ordinal * CHUNK
+    r256: np.ndarray  # [nchunks_pad] int32 bp row per out256 transition
+    r1024: np.ndarray  # [nchunks_pad] int32
+    n256: int
+    n1024: int
+    # traceback per-transition metadata
+    tb_chunkbase: np.ndarray  # [T] int32 first chunk row of transition
+    tb_bits: np.ndarray  # [T] int32 (out1024 bit)
+    tb_bprow: np.ndarray  # [T] int32 row in bp256 or bp1024
+    tb_bin: np.ndarray  # [T] int32 src layout divisor (16/32)
+    tb_bout: np.ndarray  # [T] int32 dst layout divisor
+
+
+@dataclass
+class _WideGap:
+    t0: int
+    t1: int
+    SW: int  # padded source-lane budget (carry width)
+    PW: int  # padded pairs per step
+    OW: int  # padded out lanes per step
+    T: int  # padded step count
+    gidx: np.ndarray  # [T, PW] int32
+    wsum: np.ndarray  # [T, PW] int32
+    score: np.ndarray  # [T, PW] int32
+    seg: np.ndarray  # [T, PW] int32 dst lane (-1 pad)
+    lastE: np.ndarray  # [T, OW] int32 (-1 none)
+    w1: np.ndarray  # [T, PW] int8
+    symd: np.ndarray  # [T, PW] int16
+    tb_bin: np.ndarray  # [T] int32 src layout divisor
+    tb_bout: np.ndarray  # [T] int32 dst layout divisor
+
+
+@dataclass
+class PairPlan:
+    R: int
+    L: int
+    segments: list  # _NarrowRun | _WideGap, in level order
+    max_abs_value: int  # packed-key overflow guard evidence
+
+
+def _layout(width: int) -> int:
+    """Pair-layout divisor of a narrow level."""
+    return 16 if width <= 16 else 32
+
+
+def _pad_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+_RUN_LADDER = (64, 256, 1024, 4096, 16384, 40960)
+_GAP_PW = (2048, 6144, 20480)
+_GAP_OW = (1024, 4352, 17536)
+_GAP_T = (8, 32)
+
+
+def plan_pairs(
+    level_ptr,
+    adj_ptr,
+    adj_v,
+    adj_w,
+    hom_ptr,
+    hom_colors,
+    het_ptr,
+    het_colors,
+    R: int,
+) -> PairPlan:
+    level_ptr = np.asarray(level_ptr, np.int64)
+    adj_ptr = np.asarray(adj_ptr, np.int64)
+    adj_v = np.asarray(adj_v, np.int64)
+    adj_w = np.asarray(adj_w, np.int64)
+    hom_ptr = np.asarray(hom_ptr, np.int64)
+    het_ptr = np.asarray(het_ptr, np.int64)
+    L = len(level_ptr) - 1
+    L1 = L - 1
+    widths = np.diff(level_ptr)
+    if R + 1 > 32:
+        raise ValueError("pallas backend requires R <= 31")
+
+    # ---- per-transition raw pair tables ----
+    def pair_tables(l):
+        """Sorted pair arrays for transition l -> l+1 (host layouts)."""
+        b0, b1, b2 = int(level_ptr[l]), int(level_ptr[l + 1]), int(level_ptr[l + 2])
+        k, k2 = b1 - b0, b2 - b1
+        e0, e1 = int(adj_ptr[b0]), int(adj_ptr[b1])
+        dst = (adj_v[e0:e1] - b1).astype(np.int64)
+        w = adj_w[e0:e1].astype(np.int64)
+        src = np.repeat(
+            np.arange(k, dtype=np.int64),
+            np.diff(adj_ptr[b0 : b1 + 1]).astype(np.int64),
+        )
+        eo = np.arange(len(dst), dtype=np.int64)  # adjacency order
+
+        # local colour universe + masks
+        cs = np.concatenate(
+            [
+                hom_colors[hom_ptr[b0] : hom_ptr[b2]],
+                het_colors[het_ptr[b0] : het_ptr[b2]],
+            ]
+        )
+        uniq = np.unique(cs)
+        Hl = _level_masks(b0, b1, hom_ptr, hom_colors, uniq)
+        Tl = _level_masks(b0, b1, het_ptr, het_colors, uniq)
+        Hr = _level_masks(b1, b2, hom_ptr, hom_colors, uniq)
+        Tr = _level_masks(b1, b2, het_ptr, het_colors, uniq)
+
+        E = len(dst)
+        e1i = np.repeat(np.arange(E), E)
+        e2i = np.tile(np.arange(E), E)
+        ws = w[e1i] + w[e2i]
+        keep = ws <= R
+        e1i, e2i, ws = e1i[keep], e2i[keep], ws[keep]
+        s1, s2 = src[e1i], src[e2i]
+        d1, d2 = dst[e1i], dst[e2i]
+        # preference sort: (dstpair, pred_i, pred_j, edge order)
+        order = np.lexsort((eo[e2i], eo[e1i], s2, s1, d1 * k2 + d2))
+        e1i, e2i, ws = e1i[order], e2i[order], ws[order]
+        s1, s2, d1, d2 = s1[order], s2[order], d1[order], d2[order]
+
+        HLu = Hl[s1] | Hl[s2]
+        TLu = Tl[s1] | Tl[s2]
+        HRu = Hr[d1] | Hr[d2]
+        TRu = Tr[d1] | Tr[d2]
+        symd = _popcount(TLu ^ TRu).sum(-1).astype(np.int64)
+        score = _popcount(HLu & HRu).sum(-1).astype(np.int64) + symd
+        w1 = w[e1i]
+        return k, k2, s1, s2, d1, d2, ws, score, symd, w1
+
+    narrow = np.zeros(L1, bool)
+    for l in range(L1):
+        narrow[l] = max(widths[l], widths[l + 1]) <= NARROW_W
+
+    # packed-key overflow guard: the narrow kernel packs value*256+slot
+    # into int32, so the running value upper bound (sum of per-level max
+    # scores) must stay below 2^21
+    bound = [abs(NEG)]
+
+    def pair_tables_g(l):
+        out = pair_tables(l)
+        score = out[7]
+        bound[0] += int(score.max(initial=0))
+        return out
+
+    segments = []
+    l = 0
+    while l < L1:
+        if narrow[l]:
+            j = l
+            while j < L1 and narrow[j]:
+                j += 1
+            seg, _ = _plan_narrow_run(l, j, widths, pair_tables_g, R)
+            segments.append(seg)
+            l = j
+        else:
+            j = l
+            while j < L1 and not narrow[j]:
+                j += 1
+            segments.append(_plan_wide_gap(l, j, widths, pair_tables_g, R))
+            l = j
+    if bound[0] * 256 + 255 >= (1 << 30):
+        raise ValueError(
+            f"DP value bound {bound[0]} overflows the packed int32 key; "
+            "use the chunked backend"
+        )
+    return PairPlan(R=R, L=L, segments=segments, max_abs_value=bound[0])
+
+
+def _plan_narrow_run(t0, t1, widths, pair_tables, R):
+    tbls, w1s, symds = [], [], []
+    sbits, sbase, r256, r1024 = [], [], [], []
+    tb_chunkbase, tb_bits, tb_bprow, tb_bin, tb_bout = [], [], [], [], []
+    n256 = n1024 = 0
+    running_sc = 0
+    for t in range(t0, t1):
+        k, k2, s1, s2, d1, d2, ws, score, symd, w1 = pair_tables(t)
+        Bin = _layout(int(widths[t]))
+        Bout = _layout(int(widths[t + 1]))
+        gidx = s1 * Bin + s2
+        dstl = d1 * Bout + d2
+        n = len(gidx)
+        nch = max(1, (n + CHUNK - 1) // CHUNK)
+        pad = nch * CHUNK - n
+
+        def padded(a, v):
+            return np.concatenate([a, np.full(pad, v, a.dtype)]).reshape(
+                nch, CHUNK
+            )
+
+        g = padded(gidx.astype(np.int32), 0)
+        sc = padded(score.astype(np.int32), PAD_SC)
+        wsm = padded(ws.astype(np.int32), 0)
+        dl = padded(dstl.astype(np.int32), -1)
+        w1c = padded(w1.astype(np.int8), 0)
+        syc = padded(symd.astype(np.int16), 0)
+        running_sc += int(score.max(initial=0))
+
+        out1024 = Bout == 32
+        in1024 = Bin == 32
+        tb_chunkbase.append(len(tbls))
+        tb_bits.append(2 if out1024 else 0)
+        tb_bprow.append(n1024 if out1024 else n256)
+        tb_bin.append(Bin)
+        tb_bout.append(Bout)
+        for c in range(nch):
+            blk = np.zeros((8, CHUNK), np.int32)
+            blk[0] = g[c]
+            blk[1] = sc[c]
+            blk[2] = wsm[c]
+            blk[3] = dl[c]
+            # lastE rows 4..7: last chunk-lane per OUT lane (chunk-local)
+            le = np.full(1024, -1, np.int32)
+            real = dl[c] >= 0
+            le[dl[c][real]] = np.arange(CHUNK)[real]  # ascending: last wins
+            blk[4:8] = le.reshape(4, CHUNK)
+            tbls.append(blk)
+            w1s.append(w1c[c])
+            symds.append(syc[c])
+            bits = (1 if in1024 else 0) | (2 if out1024 else 0)
+            if c == 0:
+                bits |= 4
+            if c == nch - 1:
+                bits |= 8
+            sbits.append(bits)
+            sbase.append(c * CHUNK)
+            r256.append(n256)
+            r1024.append(n1024)
+        if out1024:
+            n1024 += 1
+        else:
+            n256 += 1
+
+    nreal = len(tbls)
+    npad = next(c for c in _RUN_LADDER if c >= nreal)
+    for _ in range(npad - nreal):
+        blk = np.zeros((8, CHUNK), np.int32)
+        blk[1] = PAD_SC
+        blk[3] = -1
+        blk[4:8] = -1
+        tbls.append(blk)
+        sbits.append(0)  # not first, not last: only touches accumulators
+        sbase.append(0)
+        r256.append(max(n256 - 1, 0))
+        r1024.append(max(n1024 - 1, 0))
+    n256c = max(n256, 1)
+    n1024c = max(n1024, 1)
+    seg = _NarrowRun(
+        t0=t0,
+        t1=t1,
+        tbl=np.stack(tbls),
+        w1=np.stack(w1s),
+        symd=np.stack(symds),
+        sbits=np.asarray(sbits, np.int32),
+        sbase=np.asarray(sbase, np.int32),
+        r256=np.minimum(np.asarray(r256, np.int32), n256c - 1),
+        r1024=np.minimum(np.asarray(r1024, np.int32), n1024c - 1),
+        n256=max(n256, 1),
+        n1024=max(n1024, 1),
+        tb_chunkbase=np.asarray(tb_chunkbase, np.int32),
+        tb_bits=np.asarray(tb_bits, np.int32),
+        tb_bprow=np.asarray(tb_bprow, np.int32),
+        tb_bin=np.asarray(tb_bin, np.int32),
+        tb_bout=np.asarray(tb_bout, np.int32),
+    )
+    return seg, running_sc
+
+
+def _plan_wide_gap(t0, t1, widths, pair_tables, R):
+    rows = []
+    for t in range(t0, t1):
+        k, k2, s1, s2, d1, d2, ws, score, symd, w1 = pair_tables(t)
+        # src layout: narrow pair layout for the gap's first transition,
+        # flat k*k for interior wide levels
+        Bin = _layout(int(widths[t])) if max(
+            int(widths[t]), 1
+        ) <= NARROW_W else int(widths[t])
+        Bout = (
+            _layout(int(widths[t + 1]))
+            if int(widths[t + 1]) <= NARROW_W
+            else int(widths[t + 1])
+        )
+        gidx = s1 * Bin + s2
+        dstl = d1 * Bout + d2
+        rows.append((gidx, ws, score, dstl, w1, symd, Bin, Bout, k, k2))
+
+    PW = next(c for c in _GAP_PW if c >= max(len(r[0]) for r in rows))
+    need_out = max(
+        (r[7] * r[7] if r[9] > NARROW_W else 1024) for r in rows
+    )
+    OW = next(c for c in _GAP_OW if c >= need_out)
+    need_sw = max(
+        max((r[6] * r[6] if r[8] > NARROW_W else 1024), OW) for r in rows
+    )
+    SW = next(c for c in _GAP_OW if c >= need_sw)
+    T = next(c for c in _GAP_T if c >= len(rows))
+
+    gidx = np.zeros((T, PW), np.int32)
+    wsum = np.zeros((T, PW), np.int32)
+    score = np.full((T, PW), PAD_SC, np.int32)
+    seg = np.full((T, PW), -1, np.int32)
+    lastE = np.full((T, OW), -1, np.int32)
+    w1 = np.zeros((T, PW), np.int8)
+    symd = np.zeros((T, PW), np.int16)
+    tb_bin = np.zeros(T, np.int32)
+    tb_bout = np.ones(T, np.int32)
+    for i, (g, ws, sc, dl, w1r, sy, Bin, Bout, k, k2) in enumerate(rows):
+        n = len(g)
+        gidx[i, :n] = g
+        wsum[i, :n] = ws
+        score[i, :n] = sc
+        seg[i, :n] = dl
+        lastE[i, dl] = np.arange(n)
+        w1[i, :n] = w1r
+        symd[i, :n] = sy
+        tb_bin[i] = Bin
+        tb_bout[i] = Bout
+    # pad steps: identity-ish no-op — keep V unchanged by mapping every
+    # out lane from itself with weight 0 and score 0
+    for i in range(len(rows), T):
+        idf = np.arange(OW, dtype=np.int32)
+        gidx[i, :OW] = idf
+        wsum[i, :OW] = 0
+        score[i, :OW] = 0
+        seg[i, :OW] = idf
+        lastE[i] = idf
+        tb_bin[i] = 1
+        tb_bout[i] = 1
+    return _WideGap(
+        t0=t0,
+        t1=t1,
+        SW=SW,
+        PW=PW,
+        OW=OW,
+        T=T,
+        gidx=gidx,
+        wsum=wsum,
+        score=score,
+        seg=seg,
+        lastE=lastE,
+        w1=w1,
+        symd=symd,
+        tb_bin=tb_bin,
+        tb_bout=tb_bout,
+    )
+
+
+# --------------------------------------------------------------------
+# narrow Pallas kernel
+# --------------------------------------------------------------------
+
+R1P = 32  # padded r rows (R + 1 <= 32)
+
+
+def _narrow_kernel(R1: int, T_static: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(
+        sbits_ref,
+        sbase_ref,
+        r256_ref,
+        r1024_ref,
+        tbl_ref,
+        vinit_ref,
+        bp256_ref,
+        bp1024_ref,
+        vout_ref,
+        V,
+        accv,
+        accs,
+        cand,
+    ):
+        t = pl.program_id(0)
+        T = T_static
+        bits = sbits_ref[t]
+        in1024 = (bits & 1) != 0
+        out1024 = (bits & 2) != 0
+        first = (bits & 4) != 0
+        last = (bits & 8) != 0
+
+        @pl.when(t == 0)
+        def _():
+            V[...] = vinit_ref[...]
+
+        tbl = tbl_ref[0]  # [8, CHUNK]
+        gidx = tbl[0]
+        sc = tbl[1]
+        wsum = tbl[2]
+        dst = tbl[3]
+
+        # ---- gather: cand[r, p] = V[r, gidx[p]] (one-hot matmul) ----
+        @pl.when(jnp.logical_not(in1024))
+        def _():
+            rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+            G = (rows == gidx[None, :]).astype(jnp.float32)
+            cand[...] = jax.lax.dot_general(
+                V[:, :CHUNK].astype(jnp.float32),
+                G,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+
+        @pl.when(in1024)
+        def _():
+            rows = jax.lax.broadcasted_iota(jnp.int32, (1024, CHUNK), 0)
+            G = (rows == gidx[None, :]).astype(jnp.float32)
+            cand[...] = jax.lax.dot_general(
+                V[...].astype(jnp.float32),
+                G,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+
+        g0 = cand[...]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (R1P, CHUNK), 0)
+        g1 = jnp.where(ri >= 1, pltpu.roll(g0, 1, 0), NEG)
+        g2 = jnp.where(ri >= 2, pltpu.roll(g0, 2, 0), NEG)
+        wb = wsum[None, :]
+        c = jnp.where(wb == 0, g0, jnp.where(wb == 1, g1, g2))
+
+        # packed key (value*256 | slotcode), slotcode = CHUNK-1-lane
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        slotc = (CHUNK - 1) - lane
+        kv = jnp.where(
+            c < REACH_T,
+            jnp.int32(INVALID),
+            (c + sc[None, :]) * CHUNK + slotc,
+        )
+
+        segb = dst[None, :]
+        s = 1
+        while s < CHUNK:
+            conn = (lane >= s) & (segb == pltpu.roll(segb, s, 1))
+            m = jnp.broadcast_to(conn, (R1P, CHUNK))
+            sv = pltpu.roll(kv, s, 1)
+            kv = jnp.where(m & (sv > kv), sv, kv)
+            s *= 2
+
+        vfin = jax.lax.shift_right_arithmetic(kv, 8)
+        slot = (CHUNK - 1) - jnp.bitwise_and(kv, CHUNK - 1)
+        OFF = jnp.int32(1 << 22)
+        stacked = jnp.concatenate([vfin + OFF, slot + 1], axis=0)
+
+        base = sbase_ref[t]
+
+        def extract_and_acc(OUT):
+            # lastE lives in tbl rows 4..7 (256 out lanes per row); build
+            # E block-wise over the lane axis (Mosaic cannot reshape a
+            # [4, 256] vector into [1024])
+            rowsE = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+            E = jnp.concatenate(
+                [
+                    (rowsE == tbl[4 + b][None, :]).astype(jnp.float32)
+                    for b in range(OUT // CHUNK)
+                ],
+                axis=1,
+            )
+            ex = jax.lax.dot_general(
+                stacked.astype(jnp.float32),
+                E,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            exv = jnp.where(ex[:R1P] > 0, ex[:R1P] - OFF, jnp.int32(INVALID))
+            exs = ex[R1P:] - 1 + base
+            av = accv[:, :OUT]
+            take = exv > av
+            nv = jnp.where(first, exv, jnp.where(take, exv, av))
+            ns = jnp.where(
+                first, exs, jnp.where(take, exs, accs[:, :OUT])
+            )
+            accv[:, :OUT] = nv
+            accs[:, :OUT] = ns
+            return nv, ns
+
+        @pl.when(jnp.logical_not(out1024))
+        def _():
+            nv, ns = extract_and_acc(CHUNK)
+
+            @pl.when(last)
+            def _():
+                V[:, :CHUNK] = jnp.where(
+                    nv > REACH_T, nv, jnp.int32(NEG)
+                )
+                bp256_ref[0] = ns.astype(jnp.int16)
+
+        @pl.when(out1024)
+        def _():
+            nv, ns = extract_and_acc(1024)
+
+            @pl.when(last)
+            def _():
+                V[...] = jnp.where(nv > REACH_T, nv, jnp.int32(NEG))
+                bp1024_ref[0] = ns.astype(jnp.int16)
+
+        @pl.when(t == T - 1)
+        def _():
+            vout_ref[...] = V[...]
+
+    return kern
+
+
+def _narrow_call(seg: _NarrowRun, R1: int, interpret: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T = len(seg.sbits)
+    kern = _narrow_kernel(R1, len(seg.sbits))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 8, CHUNK), lambda t, *s: (t, 0, 0)),
+            pl.BlockSpec((R1P, 1024), lambda t, *s: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, R1P, CHUNK), lambda t, sb, sa, a, b: (a[t], 0, 0)),
+            pl.BlockSpec((1, R1P, 1024), lambda t, sb, sa, a, b: (b[t], 0, 0)),
+            pl.BlockSpec((R1P, 1024), lambda t, *s: (0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R1P, 1024), jnp.int32),
+            pltpu.VMEM((R1P, 1024), jnp.int32),
+            pltpu.VMEM((R1P, 1024), jnp.int32),
+            pltpu.VMEM((R1P, CHUNK), jnp.int32),
+        ],
+    )
+
+    def run(sbits, sbase, r256, r1024, tbl, vinit):
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((seg.n256, R1P, CHUNK), jnp.int16),
+                jax.ShapeDtypeStruct((seg.n1024, R1P, 1024), jnp.int16),
+                jax.ShapeDtypeStruct((R1P, 1024), jnp.int32),
+            ),
+            interpret=interpret,
+        )(sbits, sbase, r256, r1024, tbl, vinit)
+
+    return run
+
+
+# --------------------------------------------------------------------
+# wide gap (XLA)
+# --------------------------------------------------------------------
+
+
+def _gap_fn(SW, PW, OW, T, R1):
+    """jitted scan over a wide gap; V carry [R1P, SW] (input/output
+    sliced/padded to 1024 lanes for the neighbouring Pallas runs)."""
+    import jax
+    import jax.numpy as jnp
+
+    def seg_combine(a, b):
+        (sega, va, sa), (segb, vb, sb) = a, b
+        same = segb == sega
+        better = same & ((va > vb) | ((va == vb) & (sa < sb)))
+        return (
+            segb,
+            jnp.where(better, va, vb),
+            jnp.where(better, sa, sb),
+        )
+
+    def step(V, xs):
+        gidx, wsum, score, seg, lastE = xs
+        g0 = jnp.take(V, gidx, axis=1)  # [R1P, PW]
+        ri = jnp.arange(R1P, dtype=jnp.int32)[:, None]
+        g1 = jnp.where(ri >= 1, jnp.roll(g0, 1, axis=0), NEG)
+        g2 = jnp.where(ri >= 2, jnp.roll(g0, 2, axis=0), NEG)
+        c = jnp.where(wsum == 0, g0, jnp.where(wsum == 1, g1, g2))
+        v = jnp.where(
+            (c < REACH_T) | (seg < 0), jnp.int32(INVALID), c + score
+        )
+        slot = jnp.broadcast_to(
+            jnp.arange(PW, dtype=jnp.int32)[None, :], v.shape
+        )
+        segb = jnp.broadcast_to(seg[None, :], v.shape)
+        _, mv, ms = jax.lax.associative_scan(
+            seg_combine, (segb, v, slot), axis=1
+        )
+        ev = jnp.where(lastE[None, :] >= 0, jnp.take(mv, jnp.maximum(lastE, 0), axis=1), jnp.int32(INVALID))
+        es = jnp.take(ms, jnp.maximum(lastE, 0), axis=1)
+        Vn = jnp.full((R1P, SW), NEG, jnp.int32)
+        Vn = Vn.at[:, :OW].set(jnp.where(ev > REACH_T, ev, jnp.int32(NEG)))
+        return Vn, es.astype(jnp.int32)
+
+    def run(V1024, gidx, wsum, score, seg, lastE):
+        V = jnp.full((R1P, SW), NEG, jnp.int32)
+        V = V.at[:, : V1024.shape[1]].set(V1024)
+        Vf, bp = jax.lax.scan(step, V, (gidx, wsum, score, seg, lastE))
+        return Vf[:, :1024], bp  # bp [T, R1P, OW]
+
+    return run
+
+
+# --------------------------------------------------------------------
+# traceback scans
+# --------------------------------------------------------------------
+
+
+def _narrow_trace_fn(T):
+    """Reverse scan over a narrow run's transitions."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(bp256, bp1024, tbl, w1t, syt, xs, carry):
+        # xs rows (already reversed): chunkbase, bits, bprow, bin, bout
+        def f(c, x):
+            lane, r, sh = c
+            chunkbase, bits, bprow, bin_, bout = x
+            out1024 = (bits & 2) != 0
+            s256 = jax.lax.dynamic_slice(
+                bp256, (bprow, r, jnp.minimum(lane, CHUNK - 1)), (1, 1, 1)
+            )[0, 0, 0].astype(jnp.int32)
+            s1024 = jax.lax.dynamic_slice(
+                bp1024, (bprow, r, lane), (1, 1, 1)
+            )[0, 0, 0].astype(jnp.int32)
+            slot = jnp.where(out1024, s1024, s256)
+            crow = chunkbase + slot // CHUNK
+            lanec = slot % CHUNK
+            g = jax.lax.dynamic_slice(tbl, (crow, 0, lanec), (1, 3, 1))[0, :, 0]
+            gidx, _, wsum = g[0], g[1], g[2]
+            w1 = jax.lax.dynamic_slice(w1t, (crow, lanec), (1, 1))[0, 0].astype(
+                jnp.int32
+            )
+            sy = jax.lax.dynamic_slice(syt, (crow, lanec), (1, 1))[0, 0].astype(
+                jnp.int32
+            )
+            pi = gidx // bin_
+            pj = gidx % bin_
+            i2 = lane // bout
+            j2 = lane % bout
+            rec = jnp.stack([pi, pj, i2, j2, w1, wsum - w1, sy])
+            return (gidx, r - wsum, sh + sy), rec
+
+        (lane, r, sh), recs = jax.lax.scan(f, carry, xs)
+        return (lane, r, sh), recs
+
+    return run
+
+
+def _gap_trace_fn(T, PW, OW):
+    import jax
+    import jax.numpy as jnp
+
+    def run(bp, gidxt, wsumt, w1t, syt, xs, carry):
+        # xs rows reversed: step index, bin, bout
+        def f(c, x):
+            lane, r, sh = c
+            step, bin_, bout = x
+            slot = jax.lax.dynamic_slice(bp, (step, r, lane), (1, 1, 1))[
+                0, 0, 0
+            ]
+            gidx = jax.lax.dynamic_slice(gidxt, (step, slot), (1, 1))[0, 0]
+            wsum = jax.lax.dynamic_slice(wsumt, (step, slot), (1, 1))[0, 0]
+            w1 = jax.lax.dynamic_slice(w1t, (step, slot), (1, 1))[0, 0].astype(
+                jnp.int32
+            )
+            sy = jax.lax.dynamic_slice(syt, (step, slot), (1, 1))[0, 0].astype(
+                jnp.int32
+            )
+            pi = gidx // bin_
+            pj = gidx % bin_
+            i2 = lane // bout
+            j2 = lane % bout
+            rec = jnp.stack([pi, pj, i2, j2, w1, wsum - w1, sy])
+            return (gidx, r - wsum, sh + sy), rec
+
+        (lane, r, sh), recs = jax.lax.scan(f, carry, xs)
+        return (lane, r, sh), recs
+
+    return run
+
+
+# --------------------------------------------------------------------
+# orchestrator
+# --------------------------------------------------------------------
+
+
+class PairDiploidDP:
+    """Pallas narrow runs + XLA wide gaps; single value fetch at the end.
+
+    Same output contract as the other device tiers:
+    run() -> (sink_value, sink_s_het, transitions) with transitions a
+    list of (level, pi, pj, i2, j2, wu, wv), level ascending 1..L-1.
+    """
+
+    def __init__(self, plan: PairPlan, interpret: bool = False):
+        self.plan = plan
+        self.R = plan.R
+        self.interpret = interpret
+        self._shipped = None
+        self._jits = {}
+
+    # ---------------- staging ----------------
+    def _ship(self):
+        import jax
+
+        if self._shipped is not None:
+            return self._shipped
+        put = jax.device_put
+        shipped = []
+        for seg in self.plan.segments:
+            if isinstance(seg, _NarrowRun):
+                shipped.append(
+                    (
+                        "n",
+                        seg,
+                        tuple(
+                            put(a)
+                            for a in (
+                                seg.sbits,
+                                seg.sbase,
+                                seg.r256,
+                                seg.r1024,
+                                seg.tbl,
+                            )
+                        ),
+                    )
+                )
+            else:
+                shipped.append(
+                    (
+                        "w",
+                        seg,
+                        tuple(
+                            put(a)
+                            for a in (
+                                seg.gidx,
+                                seg.wsum,
+                                seg.score,
+                                seg.seg,
+                                seg.lastE,
+                            )
+                        ),
+                    )
+                )
+        self._shipped = shipped
+        return shipped
+
+    def _narrow_jit(self, seg):
+        import jax
+
+        key = ("n", len(seg.sbits), seg.n256, seg.n1024)
+        if key not in self._jits:
+            self._jits[key] = jax.jit(
+                _narrow_call(seg, self.R + 1, self.interpret)
+            )
+        return self._jits[key]
+
+    def _gap_jit(self, seg):
+        import jax
+
+        key = ("w", seg.SW, seg.PW, seg.OW, seg.T)
+        if key not in self._jits:
+            self._jits[key] = jax.jit(
+                _gap_fn(seg.SW, seg.PW, seg.OW, seg.T, self.R + 1)
+            )
+        return self._jits[key]
+
+    def _initial(self):
+        import jax
+
+        V0 = np.full((R1P, 1024), NEG, np.int32)
+        V0[:, 0] = 0
+        return jax.device_put(V0)
+
+    # ---------------- forward ----------------
+    def _forward(self, keep_bp: bool):
+        shipped = self._ship()
+        V = self._initial()
+        bps = []
+        for kind, seg, dev in shipped:
+            if kind == "n":
+                fn = self._narrow_jit(seg)
+                bp256, bp1024, V = fn(*dev, V)
+                bps.append((bp256, bp1024) if keep_bp else None)
+            else:
+                fn = self._gap_jit(seg)
+                V, bp = fn(V, *dev)
+                bps.append(bp if keep_bp else None)
+        return V, bps
+
+    def measure_forward(self, passes: int = 2, fetch_value: bool = False):
+        """Wall seconds of one forward pass, fetch-poison aware.
+
+        This tier issues ~2 launches per narrow run / wide gap, so the
+        first device→host fetch (which permanently degrades dispatch
+        latency ~80x on tunnel-attached runtimes) would wreck every
+        subsequent pass. Strategy: one untimed warm pass (compiles all
+        shapes, no fetch), a settle sleep so the device drains, then ONE
+        timed pass that ends with the single value fetch. The reported
+        wall includes that fetch round trip (~tens of ms), slightly
+        understating throughput."""
+        import time as _time
+
+        # warm pass: compile everything, leave the device idle after
+        t0 = _time.time()
+        self._forward(keep_bp=False)
+        warm_wall = _time.time() - t0
+        _time.sleep(min(max(2.0, warm_wall * 0.1), 10.0))
+
+        t0 = _time.time()
+        V, _ = self._forward(keep_bp=False)
+        v = int(np.asarray(V)[self.R, 0])
+        best = _time.time() - t0
+        if fetch_value:
+            return best, v
+        return best
+
+    # ---------------- full run ----------------
+    def run(self, verbose: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        V, bps = self._forward(keep_bp=True)
+        carry = (
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(self.R, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+        )
+        shipped = self._ship()
+        rec_chunks = []  # device arrays, reversed order
+        for (kind, seg, dev), bp in zip(reversed(shipped), reversed(bps)):
+            if kind == "n":
+                T = seg.t1 - seg.t0
+                xs = np.stack(
+                    [
+                        seg.tb_chunkbase,
+                        seg.tb_bits,
+                        seg.tb_bprow,
+                        seg.tb_bin,
+                        seg.tb_bout,
+                    ],
+                    axis=1,
+                )[::-1].copy()
+                key = ("tn", T)
+                if key not in self._jits:
+                    self._jits[key] = jax.jit(_narrow_trace_fn(T))
+                fn = self._jits[key]
+                carry, recs = fn(
+                    bp[0],
+                    bp[1],
+                    jax.device_put(seg.tbl),
+                    jax.device_put(seg.w1),
+                    jax.device_put(seg.symd),
+                    jax.device_put(xs.astype(np.int32)),
+                    carry,
+                )
+                rec_chunks.append((seg.t0, T, recs))
+            else:
+                Treal = seg.t1 - seg.t0
+                xs = np.stack(
+                    [
+                        np.arange(Treal, dtype=np.int32),
+                        seg.tb_bin[:Treal],
+                        seg.tb_bout[:Treal],
+                    ],
+                    axis=1,
+                )[::-1].copy()
+                key = ("tw", seg.T, seg.PW, seg.OW, Treal)
+                if key not in self._jits:
+                    self._jits[key] = jax.jit(
+                        _gap_trace_fn(seg.T, seg.PW, seg.OW)
+                    )
+                fn = self._jits[key]
+                carry, recs = fn(
+                    bp,
+                    jax.device_put(seg.gidx),
+                    jax.device_put(seg.wsum),
+                    jax.device_put(seg.w1),
+                    jax.device_put(seg.symd),
+                    jax.device_put(xs.astype(np.int32)),
+                    carry,
+                )
+                rec_chunks.append((seg.t0, Treal, recs))
+
+        sink_value = int(np.asarray(V)[self.R, 0])
+        transitions = []
+        shet = 0
+        for t0, T, recs in rec_chunks:
+            r = np.asarray(recs)  # [T, 7] reversed within segment
+            shet += int(r[:, 6].sum())
+            for i in range(T):
+                lvl = t0 + (T - 1 - i) + 1
+                pi, pj, i2, j2, wu, wv, _ = (int(x) for x in r[i])
+                transitions.append((lvl, pi, pj, i2, j2, wu, wv))
+        transitions.sort(key=lambda x: x[0])
+        return sink_value, shet, transitions
