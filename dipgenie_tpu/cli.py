@@ -54,7 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-h", action="store_true", help="Show help")
     ap.add_argument("--version", action="store_true")
     ap.add_argument("--dp-backend", type=str, default="auto",
-                    choices=["auto", "exact", "native", "jax", "fused"])
+                    choices=["auto", "exact", "native", "jax", "fused",
+                             "pallas"])
     ap.add_argument("--sketch-backend", type=str, default="host",
                     choices=["host", "device"])
     ap.add_argument("--progress", action="store_true")

@@ -51,6 +51,15 @@ from dataclasses import dataclass, field
 import numpy as np
 
 NEG = -(2**19)  # unreachable sentinel, re-pinned every level
+
+# MXU matmul precision for the in-kernel one-hot gathers/extracts.
+# CRITICAL: the default TPU f32 dot truncates inputs to bf16 (8 mantissa
+# bits), which collapses the value+2^22 offset plane to a constant and
+# silently zeroes the DP (this was round 3's "sink value 0" bug). HIGH
+# (bf16_3x) decomposes each f32 operand into three bf16 planes and is
+# exact for |values| < 2^24 against a 0/1 one-hot; HIGHEST (f32 full)
+# costs ~2x more passes. Parity tests on real TPU gate any change here.
+_DOT_PRECISION = "highest"
 REACH_T = -(2**18)  # values above this are reachable
 INVALID = -(2**30)  # packed-key / candidate sentinel
 PAD_SC = -(2**22)  # score of padded pair lanes (loses every max)
@@ -165,6 +174,25 @@ _GAP_PW = (2048, 6144, 20480)
 _GAP_OW = (1024, 4352, 17536)
 _GAP_T = (8, 32)
 
+# The narrow kernel spills backpointers as int16 global pair ordinals
+# (chunk-local slot + sbase), so a narrow transition must keep at most
+# 32768 padded pair lanes; larger transitions route to the wide-gap
+# path, whose backpointers are int32.
+_NARROW_MAX_PAIRS = 1 << 15
+
+
+def _ladder_fit(x: int, ladder) -> int:
+    """Smallest ladder rung >= x; extends by doubling beyond the last
+    rung so oversized instances plan (at the cost of a fresh compile)
+    instead of crashing."""
+    for c in ladder:
+        if c >= x:
+            return c
+    c = ladder[-1]
+    while c < x:
+        c *= 2
+    return c
+
 
 def plan_pairs(
     level_ptr,
@@ -238,9 +266,22 @@ def plan_pairs(
         w1 = w[e1i]
         return k, k2, s1, s2, d1, d2, ws, score, symd, w1
 
+    # kept pair count per transition (pairs with wsum <= R), computed
+    # from the edge-weight histogram without materializing E^2 arrays
+    def kept_pairs(l):
+        b0, b1 = int(level_ptr[l]), int(level_ptr[l + 1])
+        w = np.minimum(adj_w[int(adj_ptr[b0]) : int(adj_ptr[b1])], R + 1)
+        c = np.bincount(w, minlength=R + 2).astype(np.int64)
+        conv = np.convolve(c, c)
+        return int(conv[: R + 1].sum())
+
     narrow = np.zeros(L1, bool)
     for l in range(L1):
-        narrow[l] = max(widths[l], widths[l + 1]) <= NARROW_W
+        narrow[l] = (
+            max(widths[l], widths[l + 1]) <= NARROW_W
+            # int16 bp ordinal limit: padded pair lanes must fit 2^15
+            and _pad_up(kept_pairs(l), CHUNK) <= _NARROW_MAX_PAIRS
+        )
 
     # packed-key overflow guard: the narrow kernel packs value*256+slot
     # into int32, so the running value upper bound (sum of per-level max
@@ -342,7 +383,7 @@ def _plan_narrow_run(t0, t1, widths, pair_tables, R):
             n256 += 1
 
     nreal = len(tbls)
-    npad = next(c for c in _RUN_LADDER if c >= nreal)
+    npad = _ladder_fit(nreal, _RUN_LADDER)
     for _ in range(npad - nreal):
         blk = np.zeros((8, CHUNK), np.int32)
         blk[1] = PAD_SC
@@ -394,16 +435,16 @@ def _plan_wide_gap(t0, t1, widths, pair_tables, R):
         dstl = d1 * Bout + d2
         rows.append((gidx, ws, score, dstl, w1, symd, Bin, Bout, k, k2))
 
-    PW = next(c for c in _GAP_PW if c >= max(len(r[0]) for r in rows))
+    PW = _ladder_fit(max(len(r[0]) for r in rows), _GAP_PW)
     need_out = max(
         (r[7] * r[7] if r[9] > NARROW_W else 1024) for r in rows
     )
-    OW = next(c for c in _GAP_OW if c >= need_out)
+    OW = _ladder_fit(need_out, _GAP_OW)
     need_sw = max(
         max((r[6] * r[6] if r[8] > NARROW_W else 1024), OW) for r in rows
     )
-    SW = next(c for c in _GAP_OW if c >= need_sw)
-    T = next(c for c in _GAP_T if c >= len(rows))
+    SW = _ladder_fit(need_sw, _GAP_OW)
+    T = _ladder_fit(len(rows), _GAP_T)
 
     gidx = np.zeros((T, PW), np.int32)
     wsum = np.zeros((T, PW), np.int32)
@@ -511,6 +552,7 @@ def _narrow_kernel(R1: int, T_static: int):
                 G,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_DOT_PRECISION,
             ).astype(jnp.int32)
 
         @pl.when(in1024)
@@ -522,6 +564,7 @@ def _narrow_kernel(R1: int, T_static: int):
                 G,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_DOT_PRECISION,
             ).astype(jnp.int32)
 
         g0 = cand[...]
@@ -573,6 +616,7 @@ def _narrow_kernel(R1: int, T_static: int):
                 E,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_DOT_PRECISION,
             ).astype(jnp.int32)
             exv = jnp.where(ex[:R1P] > 0, ex[:R1P] - OFF, jnp.int32(INVALID))
             exs = ex[R1P:] - 1 + base

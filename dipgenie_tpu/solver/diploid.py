@@ -281,6 +281,33 @@ def diploid_dp_solver(
         sink_val, sink_shet, transitions = FusedDiploidDP(plan).run(
             verbose=progress
         )
+    elif backend == "pallas":
+        import jax as _jax
+
+        from ..ops.diploid_pallas import PairDiploidDP, plan_pairs
+
+        try:
+            plan = plan_pairs(*csr_arrays(g, color_homo_bv), R)
+        except ValueError as e:
+            # R > 31 or packed-key value bound exceeded: the chunked jax
+            # tier has no such limits — fall back loudly.
+            print(
+                f"[W::diploid_dp] pallas tier unavailable ({e}); "
+                "falling back to the chunked jax tier",
+                file=sys.stderr,
+            )
+            from ..ops.diploid_jax import DeviceDiploidDP, plan_transitions
+
+            plan = plan_transitions(*csr_arrays(g, color_homo_bv))
+            sink_val, sink_shet, transitions = DeviceDiploidDP(
+                plan, R, mesh=mesh
+            ).run()
+        else:
+            # Mosaic only compiles on TPU; elsewhere (CPU CI) interpret
+            interp = _jax.default_backend() != "tpu"
+            sink_val, sink_shet, transitions = PairDiploidDP(
+                plan, interpret=interp
+            ).run(verbose=progress)
     else:
         Hm, Tm = build_color_masks(g, color_homo_bv)
         sink_val, sink_shet, transitions = _forward_exact(

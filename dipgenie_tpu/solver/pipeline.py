@@ -48,7 +48,7 @@ class PipelineConfig:
     debug: bool = False
     verbose: bool = True
     progress: bool = False
-    dp_backend: str = "auto"  # exact | jax | native | fused | auto
+    dp_backend: str = "auto"  # exact | jax | native | fused | pallas | auto
     sketch_backend: str = "host"  # host | device
     # optional jax.sharding.Mesh ("dp" x "tp"): reads shard over dp for
     # device sketching; the diploid DP state tiles over tp (SURVEY §7.6)
@@ -90,9 +90,22 @@ class Pipeline:
         backend = cfg.dp_backend
         if backend == "auto":
             backend = "native" if _native.available() else "exact"
+            try:
+                import jax as _jax
+
+                if _jax.default_backend() == "tpu":
+                    # A real accelerator is attached: prefer the single-
+                    # dispatch device DP tier (pallas). On tunnel-attached
+                    # runtimes every host<->device fetch costs a round
+                    # trip, so the pallas tier fetches exactly once at the
+                    # end of the forward pass.
+                    backend = "pallas"
+            except Exception:
+                pass
         # native C++ builder (construction + Kahn reorder fused) unless the
         # exact tier was requested, which exercises the Python graph path
-        use_native_build = _native.available() and backend in ("native", "jax", "fused")
+        use_native_build = _native.available() and backend in (
+            "native", "jax", "fused", "pallas")
         if use_native_build:
             from ..graph.expanded import build_expanded_graph_native
 
@@ -118,7 +131,7 @@ class Pipeline:
             for c in range(build.num_colors):
                 if self.anchors.homo_bv[build.color_to_anchor[c]]:
                     color_homo_bv[c] = True
-            if backend in ("native", "jax", "fused") and _native.available():
+            if backend in ("native", "jax", "fused", "pallas") and _native.available():
                 # C++ levelizer + CSR view (no Python list rebuild)
                 from ..graph.leveled import levelize_native
 
