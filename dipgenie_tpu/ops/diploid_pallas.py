@@ -319,100 +319,116 @@ def plan_pairs(
 
 
 def _plan_narrow_run(t0, t1, widths, pair_tables, R):
-    tbls, w1s, symds = [], [], []
-    sbits, sbase, r256, r1024 = [], [], [], []
-    tb_chunkbase, tb_bits, tb_bprow, tb_bin, tb_bout = [], [], [], [], []
-    n256 = n1024 = 0
+    # pass 1: per-transition pair tables + chunk counts
+    tabs = []
+    nchs = []
     running_sc = 0
     for t in range(t0, t1):
         k, k2, s1, s2, d1, d2, ws, score, symd, w1 = pair_tables(t)
         Bin = _layout(int(widths[t]))
         Bout = _layout(int(widths[t + 1]))
-        gidx = s1 * Bin + s2
-        dstl = d1 * Bout + d2
-        n = len(gidx)
-        nch = max(1, (n + CHUNK - 1) // CHUNK)
-        pad = nch * CHUNK - n
-
-        def padded(a, v):
-            return np.concatenate([a, np.full(pad, v, a.dtype)]).reshape(
-                nch, CHUNK
-            )
-
-        g = padded(gidx.astype(np.int32), 0)
-        sc = padded(score.astype(np.int32), PAD_SC)
-        wsm = padded(ws.astype(np.int32), 0)
-        dl = padded(dstl.astype(np.int32), -1)
-        w1c = padded(w1.astype(np.int8), 0)
-        syc = padded(symd.astype(np.int16), 0)
+        gidx = (s1 * Bin + s2).astype(np.int32)
+        dstl = (d1 * Bout + d2).astype(np.int32)
+        tabs.append((gidx, ws, score, dstl, w1, symd, Bin, Bout))
+        nchs.append(max(1, (len(gidx) + CHUNK - 1) // CHUNK))
         running_sc += int(score.max(initial=0))
 
+    nreal = int(sum(nchs))
+    npad = _ladder_fit(nreal, _RUN_LADDER)
+    # pass 2: preallocate flat blocks and fill in place (np.stack of
+    # thousands of small arrays dominated planning time before)
+    tbl = np.zeros((npad, 8, CHUNK), np.int32)
+    tbl[:, 1] = PAD_SC
+    tbl[:, 3] = -1
+    tbl[:, 4:8] = -1
+    w1a = np.zeros((nreal, CHUNK), np.int8)
+    syma = np.zeros((nreal, CHUNK), np.int16)
+    sbits = np.zeros(npad, np.int32)
+    sbase = np.zeros(npad, np.int32)
+    r256 = np.zeros(npad, np.int32)
+    r1024 = np.zeros(npad, np.int32)
+    T = t1 - t0
+    tb_chunkbase = np.zeros(T, np.int32)
+    tb_bits = np.zeros(T, np.int32)
+    tb_bprow = np.zeros(T, np.int32)
+    tb_bin = np.zeros(T, np.int32)
+    tb_bout = np.zeros(T, np.int32)
+
+    crow = 0
+    n256 = n1024 = 0
+    for ti, (gidx, ws, score, dstl, w1, symd, Bin, Bout) in enumerate(tabs):
+        n = len(gidx)
+        nch = nchs[ti]
+        rows = slice(crow, crow + nch)
+        padlen = nch * CHUNK
+        view = tbl[rows]  # view: slice indexing
+
+        def fill(row, a, padv):
+            buf = np.full(padlen, padv, np.int32)
+            buf[:n] = a
+            view[:, row] = buf.reshape(nch, CHUNK)
+
+        fill(0, gidx, 0)
+        fill(1, score, PAD_SC)
+        fill(2, ws, 0)
+        fill(3, dstl, -1)
+        # rows 4..7: last chunk-lane per OUT lane; ascending fancy-index
+        # assignment keeps the last occurrence per (chunk, dst lane)
+        le = np.full((nch, 1024), -1, np.int32)
+        pos = np.arange(n, dtype=np.int64)
+        le[pos // CHUNK, dstl.astype(np.int64)] = (pos % CHUNK).astype(
+            np.int32
+        )
+        view[:, 4:8] = le.reshape(nch, 4, CHUNK)
+        wbuf = np.zeros(padlen, np.int8)
+        wbuf[:n] = w1
+        w1a[rows] = wbuf.reshape(nch, CHUNK)
+        sbuf = np.zeros(padlen, np.int16)
+        sbuf[:n] = symd
+        syma[rows] = sbuf.reshape(nch, CHUNK)
+
         out1024 = Bout == 32
-        in1024 = Bin == 32
-        tb_chunkbase.append(len(tbls))
-        tb_bits.append(2 if out1024 else 0)
-        tb_bprow.append(n1024 if out1024 else n256)
-        tb_bin.append(Bin)
-        tb_bout.append(Bout)
-        for c in range(nch):
-            blk = np.zeros((8, CHUNK), np.int32)
-            blk[0] = g[c]
-            blk[1] = sc[c]
-            blk[2] = wsm[c]
-            blk[3] = dl[c]
-            # lastE rows 4..7: last chunk-lane per OUT lane (chunk-local)
-            le = np.full(1024, -1, np.int32)
-            real = dl[c] >= 0
-            le[dl[c][real]] = np.arange(CHUNK)[real]  # ascending: last wins
-            blk[4:8] = le.reshape(4, CHUNK)
-            tbls.append(blk)
-            w1s.append(w1c[c])
-            symds.append(syc[c])
-            bits = (1 if in1024 else 0) | (2 if out1024 else 0)
-            if c == 0:
-                bits |= 4
-            if c == nch - 1:
-                bits |= 8
-            sbits.append(bits)
-            sbase.append(c * CHUNK)
-            r256.append(n256)
-            r1024.append(n1024)
+        bits = (1 if Bin == 32 else 0) | (2 if out1024 else 0)
+        sbits[rows] = bits
+        sbits[crow] |= 4
+        sbits[crow + nch - 1] |= 8
+        sbase[rows] = np.arange(nch, dtype=np.int32) * CHUNK
+        r256[rows] = n256
+        r1024[rows] = n1024
+        tb_chunkbase[ti] = crow
+        tb_bits[ti] = 2 if out1024 else 0
+        tb_bprow[ti] = n1024 if out1024 else n256
+        tb_bin[ti] = Bin
+        tb_bout[ti] = Bout
         if out1024:
             n1024 += 1
         else:
             n256 += 1
+        crow += nch
 
-    nreal = len(tbls)
-    npad = _ladder_fit(nreal, _RUN_LADDER)
-    for _ in range(npad - nreal):
-        blk = np.zeros((8, CHUNK), np.int32)
-        blk[1] = PAD_SC
-        blk[3] = -1
-        blk[4:8] = -1
-        tbls.append(blk)
-        sbits.append(0)  # not first, not last: only touches accumulators
-        sbase.append(0)
-        r256.append(max(n256 - 1, 0))
-        r1024.append(max(n1024 - 1, 0))
     n256c = max(n256, 1)
     n1024c = max(n1024, 1)
+    # padded grid steps: bits 0 (not first/last), bp rows pinned at the
+    # last written row so output index maps never regress
+    r256[nreal:] = max(n256 - 1, 0)
+    r1024[nreal:] = max(n1024 - 1, 0)
     seg = _NarrowRun(
         t0=t0,
         t1=t1,
-        tbl=np.stack(tbls),
-        w1=np.stack(w1s),
-        symd=np.stack(symds),
-        sbits=np.asarray(sbits, np.int32),
-        sbase=np.asarray(sbase, np.int32),
-        r256=np.minimum(np.asarray(r256, np.int32), n256c - 1),
-        r1024=np.minimum(np.asarray(r1024, np.int32), n1024c - 1),
-        n256=max(n256, 1),
-        n1024=max(n1024, 1),
-        tb_chunkbase=np.asarray(tb_chunkbase, np.int32),
-        tb_bits=np.asarray(tb_bits, np.int32),
-        tb_bprow=np.asarray(tb_bprow, np.int32),
-        tb_bin=np.asarray(tb_bin, np.int32),
-        tb_bout=np.asarray(tb_bout, np.int32),
+        tbl=tbl,
+        w1=w1a,
+        symd=syma,
+        sbits=sbits,
+        sbase=sbase,
+        r256=np.minimum(r256, n256c - 1),
+        r1024=np.minimum(r1024, n1024c - 1),
+        n256=n256c,
+        n1024=n1024c,
+        tb_chunkbase=tb_chunkbase,
+        tb_bits=tb_bits,
+        tb_bprow=tb_bprow,
+        tb_bin=tb_bin,
+        tb_bout=tb_bout,
     )
     return seg, running_sc
 
@@ -435,7 +451,6 @@ def _plan_wide_gap(t0, t1, widths, pair_tables, R):
         dstl = d1 * Bout + d2
         rows.append((gidx, ws, score, dstl, w1, symd, Bin, Bout, k, k2))
 
-    PW = _ladder_fit(max(len(r[0]) for r in rows), _GAP_PW)
     need_out = max(
         (r[7] * r[7] if r[9] > NARROW_W else 1024) for r in rows
     )
@@ -445,6 +460,12 @@ def _plan_wide_gap(t0, t1, widths, pair_tables, R):
     )
     SW = _ladder_fit(need_sw, _GAP_OW)
     T = _ladder_fit(len(rows), _GAP_T)
+    # identity pad steps map every out lane from itself, so the pair
+    # axis must cover OW whenever the step count is padded
+    need_pw = max(len(r[0]) for r in rows)
+    if T > len(rows):
+        need_pw = max(need_pw, OW)
+    PW = _ladder_fit(need_pw, _GAP_PW)
 
     gidx = np.zeros((T, PW), np.int32)
     wsum = np.zeros((T, PW), np.int32)

@@ -260,3 +260,66 @@ def test_print_results_aggregators(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert "HG002\t2x\t1" in r.stdout
+
+
+def test_vcf2gfa_stub_toolchain(tmp_path):
+    """vcf2gfa.py: chromosome renaming to REF#0 and the vg construct ->
+    gbwt(x4) -> gfa2gbwt chain (reference: vcf2gfa.py:44-54) under a
+    stub toolchain; asserts the command sequence and output plumbing."""
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    log = tmp_path / "calls.log"
+    _stub(bindir, "bgzip", f'echo "bgzip $@" >> {log}; mv "$2" "$2.gz"')
+    _stub(bindir, "tabix", f'echo "tabix $@" >> {log}; touch "$4.tbi"')
+    _stub(bindir, "vg", f"""
+echo "vg $@" >> {log}
+case "$1" in
+  construct) printf 'VGGRAPH';;
+  gbwt) prev=""; for a in "$@"; do
+          [ "$prev" = "-o" ] && touch "$a"
+          [ "$prev" = "-g" ] && touch "$a"
+          prev=$a; done;;
+esac
+""")
+    _stub(bindir, "gfa2gbwt", f"""
+echo "gfa2gbwt $@" >> {log}
+# emits <basename>.gfa next to the GBZ (-d <basename>)
+printf 'H\\tVN:Z:1.1\\nS\\t1\\tACGT\\nW\\tREF\\t0\\tREF#0\\t0\\t4\\t>1\\n' > "$2.gfa"
+""")
+
+    vcf = tmp_path / "in.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n"
+        "##contig=<ID=chr6,length=8>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "chr6\t2\t.\tA\tC\t.\t.\t.\n"
+    )
+    ref = tmp_path / "ref.fa"
+    ref.write_text(">chr6\nAACGTTAG\n")
+    out = tmp_path / "out.gfa"
+    wd = tmp_path / "work"
+    r = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "vcf2gfa.py"),
+         "-v", str(vcf), "-r", str(ref), "-o", str(out),
+         "--tmpdir", str(wd)],
+        capture_output=True, text=True, env=_env_with(str(bindir)),
+    )
+    assert r.returncode == 0, r.stderr
+    # renamed inputs: single PanSN chromosome name
+    renamed_fa = (wd / "renamed.fa").read_text()
+    assert renamed_fa.startswith(">REF#0\n")
+    calls = log.read_text()
+    order = ["bgzip -f", "tabix -f -p vcf", "vg construct -aS",
+             "vg gbwt -x", "vg gbwt -x", "vg gbwt -m",
+             "--gbz-format", "gfa2gbwt -d"]
+    pos, start = [], 0
+    for s in order:
+        i = calls.find(s, start)
+        assert i >= 0, (s, calls)
+        pos.append(i)
+        start = i + 1
+    # renamed VCF records carry the new chrom before bgzip
+    assert "ID=REF#0" not in calls  # sanity: log holds commands only
+    # the emitted GFA is copied verbatim to -o
+    assert out.read_text().startswith("H\tVN:Z:1.1\nS\t1\tACGT\n")
+    assert "W\tREF" in out.read_text()
