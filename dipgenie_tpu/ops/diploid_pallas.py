@@ -173,6 +173,10 @@ _RUN_LADDER = (64, 256, 1024, 4096, 16384, 40960)
 _GAP_PW = (2048, 6144, 20480)
 _GAP_OW = (1024, 4352, 17536)
 _GAP_T = (8, 32)
+# backpointer output rows (per narrow run) are padded to this ladder so
+# the number of distinct Mosaic compile shapes stays small: on MHC,
+# (T, n256, n1024) is otherwise unique per run -> 300+ compiles
+_BP_LADDER = (1, 4, 16, 64, 256, 1024, 4096, 16384, 65536)
 
 # The narrow kernel spills backpointers as int16 global pair ordinals
 # (chunk-local slot + sbase), so a narrow transition must keep at most
@@ -341,8 +345,9 @@ def _plan_narrow_run(t0, t1, widths, pair_tables, R):
     tbl[:, 1] = PAD_SC
     tbl[:, 3] = -1
     tbl[:, 4:8] = -1
-    w1a = np.zeros((nreal, CHUNK), np.int8)
-    syma = np.zeros((nreal, CHUNK), np.int16)
+    # padded to npad rows so traceback arg shapes are laddered too
+    w1a = np.zeros((npad, CHUNK), np.int8)
+    syma = np.zeros((npad, CHUNK), np.int16)
     sbits = np.zeros(npad, np.int32)
     sbase = np.zeros(npad, np.int32)
     r256 = np.zeros(npad, np.int32)
@@ -706,13 +711,18 @@ def _narrow_call(seg: _NarrowRun, R1: int, interpret: bool = False):
         ],
     )
 
+    # bp rows padded to the ladder: extra rows are never indexed by the
+    # (monotone, clipped) prefetch maps and never read by traceback
+    n256p = _ladder_fit(seg.n256, _BP_LADDER)
+    n1024p = _ladder_fit(seg.n1024, _BP_LADDER)
+
     def run(sbits, sbase, r256, r1024, tbl, vinit):
         return pl.pallas_call(
             kern,
             grid_spec=grid_spec,
             out_shape=(
-                jax.ShapeDtypeStruct((seg.n256, R1P, CHUNK), jnp.int16),
-                jax.ShapeDtypeStruct((seg.n1024, R1P, 1024), jnp.int16),
+                jax.ShapeDtypeStruct((n256p, R1P, CHUNK), jnp.int16),
+                jax.ShapeDtypeStruct((n1024p, R1P, 1024), jnp.int16),
                 jax.ShapeDtypeStruct((R1P, 1024), jnp.int32),
             ),
             interpret=interpret,
@@ -779,83 +789,115 @@ def _gap_fn(SW, PW, OW, T, R1):
 # --------------------------------------------------------------------
 
 
-def _narrow_trace_fn(T):
-    """Reverse scan over a narrow run's transitions."""
+def _narrow_trace(bp256, bp1024, tbl, w1t, syt, xs, carry):
+    """Reverse scan over a narrow run's transitions. xs rows (already
+    reversed, tail-padded): chunkbase, bits, bprow, bin, bout, active;
+    padded rows (active=0) leave the carry untouched. Shape-generic —
+    jit retraces once per laddered shape combination."""
     import jax
     import jax.numpy as jnp
 
-    def run(bp256, bp1024, tbl, w1t, syt, xs, carry):
-        # xs rows (already reversed): chunkbase, bits, bprow, bin, bout
-        def f(c, x):
-            lane, r, sh = c
-            chunkbase, bits, bprow, bin_, bout = x
-            out1024 = (bits & 2) != 0
-            s256 = jax.lax.dynamic_slice(
-                bp256, (bprow, r, jnp.minimum(lane, CHUNK - 1)), (1, 1, 1)
-            )[0, 0, 0].astype(jnp.int32)
-            s1024 = jax.lax.dynamic_slice(
-                bp1024, (bprow, r, lane), (1, 1, 1)
-            )[0, 0, 0].astype(jnp.int32)
-            slot = jnp.where(out1024, s1024, s256)
-            crow = chunkbase + slot // CHUNK
-            lanec = slot % CHUNK
-            g = jax.lax.dynamic_slice(tbl, (crow, 0, lanec), (1, 3, 1))[0, :, 0]
-            gidx, _, wsum = g[0], g[1], g[2]
-            w1 = jax.lax.dynamic_slice(w1t, (crow, lanec), (1, 1))[0, 0].astype(
-                jnp.int32
-            )
-            sy = jax.lax.dynamic_slice(syt, (crow, lanec), (1, 1))[0, 0].astype(
-                jnp.int32
-            )
-            pi = gidx // bin_
-            pj = gidx % bin_
-            i2 = lane // bout
-            j2 = lane % bout
-            rec = jnp.stack([pi, pj, i2, j2, w1, wsum - w1, sy])
-            return (gidx, r - wsum, sh + sy), rec
+    def f(c, x):
+        lane, r, sh = c
+        chunkbase, bits, bprow, bin_, bout, active = x
+        out1024 = (bits & 2) != 0
+        s256 = jax.lax.dynamic_slice(
+            bp256, (bprow, r, jnp.minimum(lane, CHUNK - 1)), (1, 1, 1)
+        )[0, 0, 0].astype(jnp.int32)
+        s1024 = jax.lax.dynamic_slice(
+            bp1024, (bprow, r, lane), (1, 1, 1)
+        )[0, 0, 0].astype(jnp.int32)
+        slot = jnp.where(out1024, s1024, s256)
+        crow = chunkbase + slot // CHUNK
+        lanec = slot % CHUNK
+        g = jax.lax.dynamic_slice(tbl, (crow, 0, lanec), (1, 3, 1))[0, :, 0]
+        gidx, _, wsum = g[0], g[1], g[2]
+        w1 = jax.lax.dynamic_slice(w1t, (crow, lanec), (1, 1))[0, 0].astype(
+            jnp.int32
+        )
+        sy = jax.lax.dynamic_slice(syt, (crow, lanec), (1, 1))[0, 0].astype(
+            jnp.int32
+        )
+        pi = gidx // bin_
+        pj = gidx % bin_
+        i2 = lane // bout
+        j2 = lane % bout
+        rec = jnp.stack([pi, pj, i2, j2, w1, wsum - w1, sy])
+        on = active != 0
+        c2 = (
+            jnp.where(on, gidx, lane),
+            jnp.where(on, r - wsum, r),
+            jnp.where(on, sh + sy, sh),
+        )
+        return c2, rec
 
-        (lane, r, sh), recs = jax.lax.scan(f, carry, xs)
-        return (lane, r, sh), recs
-
-    return run
+    return jax.lax.scan(f, carry, xs)
 
 
-def _gap_trace_fn(T, PW, OW):
+def _gap_trace(bp, gidxt, wsumt, w1t, syt, xs, carry):
+    """Reverse scan over a wide gap. xs rows reversed + tail-padded:
+    step index, bin, bout, active."""
     import jax
     import jax.numpy as jnp
 
-    def run(bp, gidxt, wsumt, w1t, syt, xs, carry):
-        # xs rows reversed: step index, bin, bout
-        def f(c, x):
-            lane, r, sh = c
-            step, bin_, bout = x
-            slot = jax.lax.dynamic_slice(bp, (step, r, lane), (1, 1, 1))[
-                0, 0, 0
-            ]
-            gidx = jax.lax.dynamic_slice(gidxt, (step, slot), (1, 1))[0, 0]
-            wsum = jax.lax.dynamic_slice(wsumt, (step, slot), (1, 1))[0, 0]
-            w1 = jax.lax.dynamic_slice(w1t, (step, slot), (1, 1))[0, 0].astype(
-                jnp.int32
-            )
-            sy = jax.lax.dynamic_slice(syt, (step, slot), (1, 1))[0, 0].astype(
-                jnp.int32
-            )
-            pi = gidx // bin_
-            pj = gidx % bin_
-            i2 = lane // bout
-            j2 = lane % bout
-            rec = jnp.stack([pi, pj, i2, j2, w1, wsum - w1, sy])
-            return (gidx, r - wsum, sh + sy), rec
+    def f(c, x):
+        lane, r, sh = c
+        step, bin_, bout, active = x
+        slot = jax.lax.dynamic_slice(bp, (step, r, lane), (1, 1, 1))[
+            0, 0, 0
+        ]
+        gidx = jax.lax.dynamic_slice(gidxt, (step, slot), (1, 1))[0, 0]
+        wsum = jax.lax.dynamic_slice(wsumt, (step, slot), (1, 1))[0, 0]
+        w1 = jax.lax.dynamic_slice(w1t, (step, slot), (1, 1))[0, 0].astype(
+            jnp.int32
+        )
+        sy = jax.lax.dynamic_slice(syt, (step, slot), (1, 1))[0, 0].astype(
+            jnp.int32
+        )
+        pi = gidx // bin_
+        pj = gidx % bin_
+        i2 = lane // bout
+        j2 = lane % bout
+        rec = jnp.stack([pi, pj, i2, j2, w1, wsum - w1, sy])
+        on = active != 0
+        c2 = (
+            jnp.where(on, gidx, lane),
+            jnp.where(on, r - wsum, r),
+            jnp.where(on, sh + sy, sh),
+        )
+        return c2, rec
 
-        (lane, r, sh), recs = jax.lax.scan(f, carry, xs)
-        return (lane, r, sh), recs
-
-    return run
+    return jax.lax.scan(f, carry, xs)
 
 
 # --------------------------------------------------------------------
 # orchestrator
 # --------------------------------------------------------------------
+
+_CACHE_SET = False
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the MHC plan compiles ~40
+    laddered kernel shapes; caching makes every later process start
+    warm. Opt out with DIPGENIE_JAX_CACHE=0."""
+    global _CACHE_SET
+    if _CACHE_SET:
+        return
+    _CACHE_SET = True
+    import os as _os
+
+    d = _os.environ.get("DIPGENIE_JAX_CACHE", "/tmp/dipgenie_jax_cache")
+    if d == "0":
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
 
 
 class PairDiploidDP:
@@ -872,6 +914,7 @@ class PairDiploidDP:
         self.interpret = interpret
         self._shipped = None
         self._jits = {}
+        _enable_compile_cache()
 
     # ---------------- staging ----------------
     def _ship(self):
@@ -922,7 +965,12 @@ class PairDiploidDP:
     def _narrow_jit(self, seg):
         import jax
 
-        key = ("n", len(seg.sbits), seg.n256, seg.n1024)
+        key = (
+            "n",
+            len(seg.sbits),
+            _ladder_fit(seg.n256, _BP_LADDER),
+            _ladder_fit(seg.n1024, _BP_LADDER),
+        )
         if key not in self._jits:
             self._jits[key] = jax.jit(
                 _narrow_call(seg, self.R + 1, self.interpret)
@@ -947,11 +995,18 @@ class PairDiploidDP:
         return jax.device_put(V0)
 
     # ---------------- forward ----------------
-    def _forward(self, keep_bp: bool):
+    def _forward(self, keep_bp: bool, keep_v_in: bool = False):
+        """One forward pass. keep_bp retains every segment's backpointer
+        arrays (toy scale only: ~14 GB on MHC); keep_v_in instead
+        retains each segment's 128 KB input state so the backward pass
+        can rematerialize one segment's bp at a time."""
         shipped = self._ship()
         V = self._initial()
         bps = []
+        v_ins = []
         for kind, seg, dev in shipped:
+            if keep_v_in:
+                v_ins.append(V)
             if kind == "n":
                 fn = self._narrow_jit(seg)
                 bp256, bp1024, V = fn(*dev, V)
@@ -960,7 +1015,7 @@ class PairDiploidDP:
                 fn = self._gap_jit(seg)
                 V, bp = fn(V, *dev)
                 bps.append(bp if keep_bp else None)
-        return V, bps
+        return (V, bps, v_ins) if keep_v_in else (V, bps)
 
     def measure_forward(self, passes: int = 2, fetch_value: bool = False):
         """Wall seconds of one forward pass, fetch-poison aware.
@@ -989,81 +1044,106 @@ class PairDiploidDP:
             return best, v
         return best
 
+    # ---------------- traceback staging ----------------
+    def _ship_tb(self, idx, kind, seg):
+        """Device-resident traceback tables per segment, shipped once;
+        xs rows are reversed and tail-padded (active=0) to the run
+        ladder so trace programs are shared across segments."""
+        import jax
+
+        if not hasattr(self, "_tb"):
+            self._tb = {}
+        if idx in self._tb:
+            return self._tb[idx]
+        put = jax.device_put
+        Treal = seg.t1 - seg.t0
+        if kind == "n":
+            xs = np.stack(
+                [
+                    seg.tb_chunkbase,
+                    seg.tb_bits,
+                    seg.tb_bprow,
+                    seg.tb_bin,
+                    seg.tb_bout,
+                    np.ones(Treal, np.int32),
+                ],
+                axis=1,
+            )[::-1]
+            Tp = _ladder_fit(Treal, _RUN_LADDER)
+            pad = np.zeros((Tp - Treal, 6), np.int32)
+            pad[:, 3:5] = 1  # bin/bout 1: no div-by-zero on padded rows
+            xs = np.concatenate([xs, pad]).astype(np.int32)
+            out = (put(xs), put(seg.w1), put(seg.symd))
+        else:
+            xs = np.stack(
+                [
+                    np.arange(Treal, dtype=np.int32),
+                    seg.tb_bin[:Treal],
+                    seg.tb_bout[:Treal],
+                    np.ones(Treal, np.int32),
+                ],
+                axis=1,
+            )[::-1]
+            pad = np.zeros((seg.T - Treal, 4), np.int32)
+            pad[:, 1:3] = 1
+            xs = np.concatenate([xs, pad]).astype(np.int32)
+            out = (put(xs), put(seg.w1), put(seg.symd))
+        self._tb[idx] = out
+        return out
+
     # ---------------- full run ----------------
     def run(self, verbose: bool = False):
         import jax
         import jax.numpy as jnp
 
-        V, bps = self._forward(keep_bp=True)
+        # forward keeps only each segment's 128 KB input state; the
+        # backward pass below REMATERIALIZES one segment's backpointers
+        # at a time by re-running that segment (2x forward compute for
+        # ~100x less resident memory — all bps on MHC would be ~14 GB)
+        V, _, v_ins = self._forward(keep_bp=False, keep_v_in=True)
         carry = (
             jnp.asarray(0, jnp.int32),
             jnp.asarray(self.R, jnp.int32),
             jnp.asarray(0, jnp.int32),
         )
         shipped = self._ship()
+        if "trace_n" not in self._jits:
+            self._jits["trace_n"] = jax.jit(_narrow_trace)
+            self._jits["trace_w"] = jax.jit(_gap_trace)
+        nseg = len(shipped)
         rec_chunks = []  # device arrays, reversed order
-        for (kind, seg, dev), bp in zip(reversed(shipped), reversed(bps)):
+        for ri, (kind, seg, dev) in enumerate(reversed(shipped)):
+            idx = nseg - 1 - ri
+            Treal = seg.t1 - seg.t0
+            xs, w1d, syd = self._ship_tb(idx, kind, seg)
             if kind == "n":
-                T = seg.t1 - seg.t0
-                xs = np.stack(
-                    [
-                        seg.tb_chunkbase,
-                        seg.tb_bits,
-                        seg.tb_bprow,
-                        seg.tb_bin,
-                        seg.tb_bout,
-                    ],
-                    axis=1,
-                )[::-1].copy()
-                key = ("tn", T)
-                if key not in self._jits:
-                    self._jits[key] = jax.jit(_narrow_trace_fn(T))
-                fn = self._jits[key]
-                carry, recs = fn(
-                    bp[0],
-                    bp[1],
-                    jax.device_put(seg.tbl),
-                    jax.device_put(seg.w1),
-                    jax.device_put(seg.symd),
-                    jax.device_put(xs.astype(np.int32)),
-                    carry,
+                fn = self._narrow_jit(seg)
+                bp256, bp1024, _ = fn(*dev, v_ins[idx])
+                carry, recs = self._jits["trace_n"](
+                    bp256, bp1024, dev[4], w1d, syd, xs, carry,
                 )
-                rec_chunks.append((seg.t0, T, recs))
+                del bp256, bp1024
             else:
-                Treal = seg.t1 - seg.t0
-                xs = np.stack(
-                    [
-                        np.arange(Treal, dtype=np.int32),
-                        seg.tb_bin[:Treal],
-                        seg.tb_bout[:Treal],
-                    ],
-                    axis=1,
-                )[::-1].copy()
-                key = ("tw", seg.T, seg.PW, seg.OW, Treal)
-                if key not in self._jits:
-                    self._jits[key] = jax.jit(
-                        _gap_trace_fn(seg.T, seg.PW, seg.OW)
-                    )
-                fn = self._jits[key]
-                carry, recs = fn(
-                    bp,
-                    jax.device_put(seg.gidx),
-                    jax.device_put(seg.wsum),
-                    jax.device_put(seg.w1),
-                    jax.device_put(seg.symd),
-                    jax.device_put(xs.astype(np.int32)),
-                    carry,
+                fn = self._gap_jit(seg)
+                _, bp = fn(v_ins[idx], *dev)
+                carry, recs = self._jits["trace_w"](
+                    bp, dev[0], dev[1], w1d, syd, xs, carry,
                 )
-                rec_chunks.append((seg.t0, Treal, recs))
+                del bp
+            rec_chunks.append((seg.t0, Treal, recs))
+            # bound in-flight rematerialized bp memory: async dispatch
+            # would otherwise enqueue every segment before any frees
+            if (ri & 63) == 63:
+                jax.block_until_ready(recs)
 
         sink_value = int(np.asarray(V)[self.R, 0])
         transitions = []
         shet = 0
-        for t0, T, recs in rec_chunks:
-            r = np.asarray(recs)  # [T, 7] reversed within segment
+        for t0, Treal, recs in rec_chunks:
+            r = np.asarray(recs)[:Treal]  # real rows, reversed in-segment
             shet += int(r[:, 6].sum())
-            for i in range(T):
-                lvl = t0 + (T - 1 - i) + 1
+            for i in range(Treal):
+                lvl = t0 + (Treal - 1 - i) + 1
                 pi, pj, i2, j2, wu, wv, _ = (int(x) for x in r[i])
                 transitions.append((lvl, pi, pj, i2, j2, wu, wv))
         transitions.sort(key=lambda x: x[0])
