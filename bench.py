@@ -1,26 +1,41 @@
 #!/usr/bin/env python3
 """Benchmark driver. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Headline metric: diploid pair-DP throughput (DP states/s) of the device
-kernel on the MHC fixture — the dominant compute of the pipeline, which
-the reference runs serially over levels (README.md:83 lists
-parallelizing it as future work).
+Headline metric: diploid pair-DP throughput (DP states/s) of the
+pair-space Pallas megakernel on the MHC fixture — the dominant compute
+of the pipeline, which the reference runs serially over levels
+(README.md:83 lists parallelizing it as future work).
+
+Measurement rules (fixed in round 4 after the round-3 noise autopsy):
+  * every timed pass is TERMINATED BY A DEVICE->HOST FETCH of the DP
+    sink value — block_until_ready is NOT an execution barrier on
+    remote-attached runtimes (rounds 1-3 recorded dispatch-enqueue
+    walls, overstating the chunked tier ~30x);
+  * the reported value is the MEDIAN of >= 5 passes, with every pass
+    wall in the JSON;
+  * a same-session native-tier CANARY detects host slowdowns:
+    vs_baseline_live rescales the baseline by today's canary vs the
+    canary measured in the round-1 baseline session.
 
 Baseline: the compiled reference C++ (g++ -O3 -fopenmp, 2 threads) on
-the same MHC workload measured on the dev host: 421,330,928 DP states in
-14.150 s = 29.78M states/s (see BENCH_NOTES.md for methodology). The
-byte-identical outputs of all tiers are asserted by tests/, so this is
-an apples-to-apples throughput comparison.
+this MHC workload, measured in the round-1 session on this host:
+421,330,909 DP states / 14.150 s = 29.78M states/s. The same session
+measured the native C++ tier at 3.3 s (127.7M states/s), which anchors
+the canary. All tiers produce byte-identical output (tests/), so the
+comparison is apples-to-apples.
 
-Falls back to a synthetic workload when the MHC fixture is unavailable,
-and to the native C++ runtime when no accelerator is usable.
+Falls back: pallas -> chunked jax -> native C++, synthetic workload when
+the MHC fixture is unavailable. BENCH_E2E=1 additionally times one full
+end-to-end diploid pipeline run (GFA -> FASTA) with the device DP.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import pickle
 import sys
 import time
 
@@ -30,8 +45,10 @@ REF_MHC = "/root/reference/test/MHC_4.gfa.gz"
 REF_READS = "/root/reference/test/CHM13_reads.fq.gz"
 CACHE = "/tmp/dipgenie_tpu_bench_csr.npz"
 
-# reference C++ diploid DP on MHC (this host, -t2): 421,330,928 states / 14.150 s
+# reference C++ diploid DP on MHC (round-1 session, -t2): 421,330,909/14.150s
 BASELINE_CELLS_PER_S = 29.78e6
+# native C++ tier in the SAME session: 3.3 s -> anchors the host canary
+CANARY_REF_CELLS_PER_S = 421_330_909 / 3.3
 
 
 def log(msg):
@@ -136,8 +153,101 @@ def synthetic_csr(L=20000, seed=0):
     ]
 
 
+def _plan_cache_path(arrs, R: int) -> str:
+    """Deterministic on-disk cache key for the pair plan."""
+    from dipgenie_tpu.ops.diploid_pallas import PLAN_FORMAT
+
+    h = hashlib.sha1()
+    h.update(f"fmt{PLAN_FORMAT}-R{R}".encode())
+    for a in arrs:
+        a = np.ascontiguousarray(a)
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes()[: 1 << 20])
+        h.update(a.tobytes()[-(1 << 20):])
+    return f"/tmp/dipgenie_pair_plan_{h.hexdigest()[:16]}.pkl"
+
+
+def run_canary(arrs, R: int):
+    """Same-session native C++ DP timing: detects host slowdowns so
+    vs_baseline_live compares against a live-scaled baseline instead of
+    a constant measured on a historical (possibly faster) host."""
+    from dipgenie_tpu import native
+
+    if not native.available():
+        return None
+    widths = np.diff(arrs[0])
+    cells = int(np.sum((R + 1) * widths[1:] * widths[1:]))
+    t0 = time.time()
+    native.diploid_dp(*arrs, R, 2, False)
+    dt = time.time() - t0
+    log(f"canary: native C++ tier (2 threads) {dt:.1f}s "
+        f"({cells / dt / 1e6:.1f} M states/s)")
+    return cells / dt
+
+
+def measure_pallas(arrs, R: int, passes: int):
+    from dipgenie_tpu.ops.diploid_pallas import PairDiploidDP, plan_pairs
+
+    pkl = _plan_cache_path(arrs, R)
+    t0 = time.time()
+    if os.path.exists(pkl):
+        with open(pkl, "rb") as fh:
+            plan = pickle.load(fh)
+        log(f"plan: {time.time()-t0:.1f}s (cached {pkl})")
+    else:
+        plan = plan_pairs(*arrs, R)
+        with open(pkl, "wb") as fh:
+            pickle.dump(plan, fh, protocol=4)
+        log(f"plan: {time.time()-t0:.1f}s (fresh)")
+    plan_s = time.time() - t0
+    dp = PairDiploidDP(plan, interpret=False)
+    t0 = time.time()
+    dp._ship()
+    ship_s = time.time() - t0
+    log(f"ship: {ship_s:.1f}s")
+    walls, value = dp.measure_passes(passes)
+    return walls, value, {"plan_s": round(plan_s, 1), "ship_s": round(ship_s, 1)}
+
+
+def measure_chunked(arrs, R: int, passes: int):
+    from dipgenie_tpu.ops.diploid_jax import DeviceDiploidDP, plan_transitions
+
+    t0 = time.time()
+    plan = plan_transitions(*arrs)
+    plan_s = time.time() - t0
+    log(f"chunked plan: {plan_s:.1f}s")
+    dp = DeviceDiploidDP(plan, R)
+    walls, value = dp.measure_passes(passes)
+    return walls, value, {"plan_s": round(plan_s, 1)}
+
+
+def run_e2e(backend: str):
+    """One full diploid pipeline run (GFA -> FASTA), wall-clock."""
+    import io
+
+    from dipgenie_tpu.solver.pipeline import Pipeline, PipelineConfig
+
+    out = "/tmp/dipgenie_bench_e2e.fa"
+    t0 = time.time()
+    Pipeline(
+        REF_MHC, REF_READS, out,
+        PipelineConfig(ploidy=2, verbose=False, dp_backend=backend),
+    ).run(out=io.StringIO())
+    wall = time.time() - t0
+    import hashlib as _h
+
+    with open(out, "rb") as fh:
+        md5 = _h.md5(fh.read()).hexdigest()
+    log(f"e2e ({backend}): {wall:.1f}s, md5 {md5}")
+    ok = md5 == "46394489af8bc9026605ddf237aca4c7"
+    if not ok:
+        log("FATAL: e2e output is not byte-identical to the reference")
+    return wall, ok
+
+
 def main() -> int:
     R = 18
+    passes = int(os.environ.get("BENCH_PASSES", "5"))
     using_mhc = os.path.exists(REF_MHC) and os.path.exists(REF_READS)
     t_all = time.time()
     if using_mhc:
@@ -154,32 +264,26 @@ def main() -> int:
     log(f"workload: L={len(widths)} levels, {cells:,} DP states"
         f" ({'MHC' if using_mhc else 'synthetic'})")
 
-    value = None
-    backend = "jax-tpu"
+    canary = run_canary(arrs, R) if using_mhc else None
+
+    walls = None
+    extra = {}
+    backend = None
     try:
         import jax
 
         log(f"devices: {jax.devices()}")
-        from dipgenie_tpu.ops.diploid_jax import DeviceDiploidDP, plan_transitions
-
-        t0 = time.time()
-        plan = plan_transitions(*arrs)
-        log(f"plan: {time.time()-t0:.1f}s")
-        dp = DeviceDiploidDP(plan, R)
-        # steady-state forward throughput, measured WITHOUT any d2h fetch
-        # (fetches permanently degrade dispatch latency on tunnel-attached
-        # runtimes; a production run needs exactly one fetch at the end)
-        t0 = time.time()
-        warm, dp_value = dp.measure_forward(passes=3, fetch_value=True)
-        log(f"forward passes done in {time.time()-t0:.1f}s; best {warm:.2f}s; "
-            f"DP value {dp_value}")
-        if using_mhc and dp_value != 60729:
-            # hard-fail: a wrong DP value means the measured workload is
-            # not the real MHC problem — never record a bogus number
-            log(f"FATAL: DP value {dp_value} != expected 60729")
-            return 1
-        value = cells / warm
-        backend = f"jax-{jax.devices()[0].platform}"
+        if jax.default_backend() != "tpu":
+            raise RuntimeError(
+                f"no TPU attached (backend {jax.default_backend()})"
+            )
+        try:
+            walls, dp_value, extra = measure_pallas(arrs, R, passes)
+            backend = "pallas-tpu"
+        except Exception as e:  # noqa: BLE001
+            log(f"pallas tier failed ({e}); falling back to chunked tier")
+            walls, dp_value, extra = measure_chunked(arrs, R, max(passes, 2))
+            backend = f"jax-{jax.devices()[0].platform}"
     except Exception as e:  # noqa: BLE001
         log(f"device DP failed ({e}); falling back to native runtime")
         from dipgenie_tpu import native
@@ -187,11 +291,25 @@ def main() -> int:
         if not native.available():
             log("native runtime unavailable; aborting")
             return 1
-        t0 = time.time()
-        native.diploid_dp(*arrs, R, 0, False)
-        warm = time.time() - t0
-        value = cells / warm
+        walls = []
+        dp_value = None
+        for _ in range(3):
+            t0 = time.time()
+            out = native.diploid_dp(*arrs, R, 0, False)
+            walls.append(time.time() - t0)
+            dp_value = int(out[0])
         backend = "native-cpp"
+
+    if using_mhc and dp_value != 60729:
+        # hard-fail: a wrong DP value means the measured workload is
+        # not the real MHC problem — never record a bogus number
+        log(f"FATAL: DP value {dp_value} != expected 60729")
+        return 1
+    walls_sorted = sorted(walls)
+    median = walls_sorted[len(walls_sorted) // 2]
+    value = cells / median
+    log(f"passes: {['%.3f' % w for w in walls]} -> median {median:.3f}s, "
+        f"DP value {dp_value}")
 
     result = {
         "metric": "diploid_dp_states_per_s",
@@ -200,8 +318,28 @@ def main() -> int:
         "vs_baseline": round(value / BASELINE_CELLS_PER_S, 3),
         "backend": backend,
         "workload": "MHC_4+CHM13" if using_mhc else "synthetic",
-        "total_bench_wall_s": round(time.time() - t_all, 1),
+        "median_wall_s": round(median, 3),
+        "passes_s": [round(w, 3) for w in walls],
+        "timing": "fetch-terminated (block_until_ready is not a barrier)",
+        **extra,
     }
+    if canary:
+        result["canary_states_per_s"] = round(canary, 1)
+        host_health = canary / CANARY_REF_CELLS_PER_S
+        result["host_health"] = round(host_health, 3)
+        result["vs_baseline_live"] = round(
+            value / (BASELINE_CELLS_PER_S * host_health), 3
+        )
+    if os.environ.get("BENCH_E2E") == "1" and using_mhc:
+        e2e_backend = "pallas" if backend == "pallas-tpu" else "jax"
+        try:
+            e2e_wall, e2e_ok = run_e2e(e2e_backend)
+            result["e2e_wall_s"] = round(e2e_wall, 1)
+            result["e2e_backend"] = e2e_backend
+            result["e2e_byte_identical"] = e2e_ok
+        except Exception as e:  # noqa: BLE001
+            log(f"e2e measurement failed: {e}")
+    result["total_bench_wall_s"] = round(time.time() - t_all, 1)
     print(json.dumps(result))
     return 0
 

@@ -52,6 +52,9 @@ import numpy as np
 
 NEG = -(2**19)  # unreachable sentinel, re-pinned every level
 
+# bump when plan layout/ladders change (invalidates on-disk plan caches)
+PLAN_FORMAT = 2
+
 # MXU matmul precision for the in-kernel one-hot gathers/extracts.
 # CRITICAL: the default TPU f32 dot truncates inputs to bf16 (8 mantissa
 # bits), which collapses the value+2^22 offset plane to a constant and
@@ -59,7 +62,9 @@ NEG = -(2**19)  # unreachable sentinel, re-pinned every level
 # (bf16_3x) decomposes each f32 operand into three bf16 planes and is
 # exact for |values| < 2^24 against a 0/1 one-hot; HIGHEST (f32 full)
 # costs ~2x more passes. Parity tests on real TPU gate any change here.
-_DOT_PRECISION = "highest"
+import os as _os
+
+_DOT_PRECISION = _os.environ.get("DIPGENIE_DOT_PRECISION", "highest")
 REACH_T = -(2**18)  # values above this are reachable
 INVALID = -(2**30)  # packed-key / candidate sentinel
 PAD_SC = -(2**22)  # score of padded pair lanes (loses every max)
@@ -169,10 +174,15 @@ def _pad_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-_RUN_LADDER = (64, 256, 1024, 4096, 16384, 40960)
+# power-of-two rungs: padded chunks execute the full kernel, so tight
+# fits beat fewer compile shapes (the persistent cache amortizes them)
+_RUN_LADDER = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384,
+               32768, 65536)
 _GAP_PW = (2048, 6144, 20480)
 _GAP_OW = (1024, 4352, 17536)
-_GAP_T = (8, 32)
+# fine-grained: identity pad steps cost a full-width gather+scan each,
+# so exact-fit rungs beat fewer compile shapes here
+_GAP_T = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
 # backpointer output rows (per narrow run) are padded to this ladder so
 # the number of distinct Mosaic compile shapes stays small: on MHC,
 # (T, n256, n1024) is otherwise unique per run -> 300+ compiles
@@ -737,8 +747,12 @@ def _narrow_call(seg: _NarrowRun, R1: int, interpret: bool = False):
 
 
 def _gap_fn(SW, PW, OW, T, R1):
-    """jitted scan over a wide gap; V carry [R1P, SW] (input/output
-    sliced/padded to 1024 lanes for the neighbouring Pallas runs)."""
+    """jitted scan over a wide gap; V carry [R1, SW] — only the real
+    R+1 recombination rows (the Pallas runs pad to R1P=32, but the XLA
+    gathers/scans here are the dominant cost, so the 40% row padding is
+    sliced off at the boundary). Input/output padded back to
+    [R1P, 1024] for the neighbouring Pallas runs; bp rows padded to R1P
+    so traceback indexing is uniform."""
     import jax
     import jax.numpy as jnp
 
@@ -754,8 +768,8 @@ def _gap_fn(SW, PW, OW, T, R1):
 
     def step(V, xs):
         gidx, wsum, score, seg, lastE = xs
-        g0 = jnp.take(V, gidx, axis=1)  # [R1P, PW]
-        ri = jnp.arange(R1P, dtype=jnp.int32)[:, None]
+        g0 = jnp.take(V, gidx, axis=1)  # [R1, PW]
+        ri = jnp.arange(R1, dtype=jnp.int32)[:, None]
         g1 = jnp.where(ri >= 1, jnp.roll(g0, 1, axis=0), NEG)
         g2 = jnp.where(ri >= 2, jnp.roll(g0, 2, axis=0), NEG)
         c = jnp.where(wsum == 0, g0, jnp.where(wsum == 1, g1, g2))
@@ -769,17 +783,23 @@ def _gap_fn(SW, PW, OW, T, R1):
         _, mv, ms = jax.lax.associative_scan(
             seg_combine, (segb, v, slot), axis=1
         )
-        ev = jnp.where(lastE[None, :] >= 0, jnp.take(mv, jnp.maximum(lastE, 0), axis=1), jnp.int32(INVALID))
+        ev = jnp.where(
+            lastE[None, :] >= 0,
+            jnp.take(mv, jnp.maximum(lastE, 0), axis=1),
+            jnp.int32(INVALID),
+        )
         es = jnp.take(ms, jnp.maximum(lastE, 0), axis=1)
-        Vn = jnp.full((R1P, SW), NEG, jnp.int32)
+        Vn = jnp.full((R1, SW), NEG, jnp.int32)
         Vn = Vn.at[:, :OW].set(jnp.where(ev > REACH_T, ev, jnp.int32(NEG)))
         return Vn, es.astype(jnp.int32)
 
     def run(V1024, gidx, wsum, score, seg, lastE):
-        V = jnp.full((R1P, SW), NEG, jnp.int32)
-        V = V.at[:, : V1024.shape[1]].set(V1024)
+        V = jnp.full((R1, SW), NEG, jnp.int32)
+        V = V.at[:, : V1024.shape[1]].set(V1024[:R1])
         Vf, bp = jax.lax.scan(step, V, (gidx, wsum, score, seg, lastE))
-        return Vf[:, :1024], bp  # bp [T, R1P, OW]
+        Vout = jnp.full((R1P, 1024), NEG, jnp.int32)
+        Vout = Vout.at[:R1].set(Vf[:, :1024])
+        return Vout, bp  # bp [T, R1, OW] (traceback reads r <= R only)
 
     return run
 
@@ -1017,29 +1037,36 @@ class PairDiploidDP:
                 bps.append(bp if keep_bp else None)
         return (V, bps, v_ins) if keep_v_in else (V, bps)
 
-    def measure_forward(self, passes: int = 2, fetch_value: bool = False):
-        """Wall seconds of one forward pass, fetch-poison aware.
+    def measure_passes(self, passes: int = 5):
+        """Honest per-pass wall seconds, each pass TERMINATED BY A
+        DEVICE->HOST FETCH of the sink value.
 
-        This tier issues ~2 launches per narrow run / wide gap, so the
-        first device→host fetch (which permanently degrades dispatch
-        latency ~80x on tunnel-attached runtimes) would wreck every
-        subsequent pass. Strategy: one untimed warm pass (compiles all
-        shapes, no fetch), a settle sleep so the device drains, then ONE
-        timed pass that ends with the single value fetch. The reported
-        wall includes that fetch round trip (~tens of ms), slightly
-        understating throughput."""
+        block_until_ready is NOT an execution barrier on some
+        remote-attached runtimes (it returns once dispatch completes,
+        while the device still runs) — only a data fetch proves the
+        pass executed. Block-based timings here historically overstated
+        throughput by >10x. One untimed warm pass compiles all shapes;
+        returns ([wall_0..wall_{n-1}], sink_value)."""
         import time as _time
 
-        # warm pass: compile everything, leave the device idle after
-        t0 = _time.time()
-        self._forward(keep_bp=False)
-        warm_wall = _time.time() - t0
-        _time.sleep(min(max(2.0, warm_wall * 0.1), 10.0))
+        def one():
+            t0 = _time.time()
+            V, _ = self._forward(keep_bp=False)
+            v = int(np.asarray(V)[self.R, 0])
+            return _time.time() - t0, v
 
-        t0 = _time.time()
-        V, _ = self._forward(keep_bp=False)
-        v = int(np.asarray(V)[self.R, 0])
-        best = _time.time() - t0
+        one()  # warm: compiles + first-fetch effects
+        walls = []
+        v = None
+        for _ in range(max(passes, 1)):
+            w, v = one()
+            walls.append(w)
+        return walls, v
+
+    def measure_forward(self, passes: int = 2, fetch_value: bool = False):
+        """Best honest pass wall (see measure_passes)."""
+        walls, v = self.measure_passes(passes)
+        best = min(walls)
         if fetch_value:
             return best, v
         return best
