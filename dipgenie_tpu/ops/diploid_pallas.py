@@ -6,7 +6,8 @@ MHC run at ~0.06 ms each); the fused XLA scan tier (ops/diploid_fused.py)
 is a single dispatch but its multi-GB backpointer carry defeats XLA's
 in-place aliasing on real TPUs. This tier reformulates the transition in
 PAIR SPACE and runs each maximal run of narrow levels (width <= 32) as
-ONE `pallas_call`, with wide levels handled by per-gap XLA scans:
+ONE `pallas_call`, with maximal runs of wide levels handled by a second
+windowed Pallas kernel:
 
   * DP state V[r, s] with s = i*Bcls + j packed into full 128-lane
     vectors (Bcls in {16, 32} per level width); a narrow transition's
@@ -28,10 +29,16 @@ ONE `pallas_call`, with wide levels handled by per-gap XLA scans:
     advance once per transition — Pallas flushes a block exactly when
     its index changes, giving variable-rate outputs without the manual
     HBM DMA that Mosaic cannot compile at unaligned dynamic offsets;
-  * wide transitions (width > 32, ~3% of levels, in ~300 contiguous
-    gaps on MHC) run as one XLA `lax.scan` per gap on the same pair
-    tables: XLA-native gather + segmented lexicographic
-    `associative_scan` + segment-end extraction;
+  * wide transitions (width > 32 or > 2^15 pairs; ~3% of MHC levels in
+    ~300 contiguous runs) use a second Pallas kernel with a
+    [R1P, NB*1024] double-buffered VMEM state: chunks are split at
+    1024-lane destination windows, predecessors are gathered with
+    block-masked one-hot matmuls (only the source windows a chunk
+    actually touches), and results read-modify-write the destination
+    window with a strict > so earlier chunks win ties. An earlier XLA
+    lax.scan formulation of the same step measured ~320 us/step
+    (serialized gathers + 15-stage associative_scan over 20k lanes) vs
+    a few us/chunk here;
   * scores (hom/het colour popcounts, approximator.cpp:269-311) are
     precomputed per edge pair on the host with vectorized numpy — they
     are pure functions of the transition, so the device loop only adds
@@ -53,7 +60,7 @@ import numpy as np
 NEG = -(2**19)  # unreachable sentinel, re-pinned every level
 
 # bump when plan layout/ladders change (invalidates on-disk plan caches)
-PLAN_FORMAT = 2
+PLAN_FORMAT = 3
 
 # MXU matmul precision for the in-kernel one-hot gathers/extracts.
 # CRITICAL: the default TPU f32 dot truncates inputs to bf16 (8 mantissa
@@ -139,21 +146,38 @@ class _NarrowRun:
 
 
 @dataclass
-class _WideGap:
+class _WideRun:
+    """A maximal run of wide / big-pair transitions, executed as ONE
+    Pallas kernel over 256-pair chunks with a VMEM-resident
+    [R1P, NB*1024] double-buffered state.
+
+    Each chunk's destination lanes live inside one 1024-lane window;
+    the kernel gathers predecessors with block-masked one-hot matmuls
+    (only source windows present in the chunk, via wgmask bits), does
+    the same packed-key segmented max-scan + extract as the narrow
+    kernel, then read-modify-writes the destination window of the Vnext
+    scratch (strict > keeps the earlier chunk on ties = the plan's
+    preference order). Backpointers stream out as one int32
+    [R1P, 1024] block per (transition, window)."""
+
     t0: int
     t1: int
-    SW: int  # padded source-lane budget (carry width)
-    PW: int  # padded pairs per step
-    OW: int  # padded out lanes per step
-    T: int  # padded step count
-    gidx: np.ndarray  # [T, PW] int32
-    wsum: np.ndarray  # [T, PW] int32
-    score: np.ndarray  # [T, PW] int32
-    seg: np.ndarray  # [T, PW] int32 dst lane (-1 pad)
-    lastE: np.ndarray  # [T, OW] int32 (-1 none)
-    w1: np.ndarray  # [T, PW] int8
-    symd: np.ndarray  # [T, PW] int16
-    tb_bin: np.ndarray  # [T] int32 src layout divisor
+    NB: int  # V windows (SWmax // 1024)
+    tbl: np.ndarray  # [nchunks_pad, 8, CHUNK] int32 (as narrow)
+    w1: np.ndarray  # [nchunks_pad, CHUNK] int8
+    symd: np.ndarray  # [nchunks_pad, CHUNK] int16
+    wbits: np.ndarray  # [nchunks_pad] int32: 1 window-first, 2 commit
+    wwin: np.ndarray  # [nchunks_pad] int32 dst window index
+    wext: np.ndarray  # [nchunks_pad] int32 dst extent in windows
+    wbase: np.ndarray  # [nchunks_pad] int32 slot base within transition
+    wgmask: np.ndarray  # [nchunks_pad] int32 src-window presence bits
+    wrow: np.ndarray  # [nchunks_pad] int32 bp output row
+    nrows: int  # real bp rows (sum of ext over transitions)
+    # traceback per-transition metadata (same contract as _NarrowRun)
+    tb_chunkbase: np.ndarray  # [T] int32
+    tb_bits: np.ndarray  # [T] int32 (always 2: 1024-class bp)
+    tb_bprow: np.ndarray  # [T] int32 first bp row of transition
+    tb_bin: np.ndarray  # [T] int32 src layout divisor (flat k if wide)
     tb_bout: np.ndarray  # [T] int32 dst layout divisor
 
 
@@ -161,7 +185,7 @@ class _WideGap:
 class PairPlan:
     R: int
     L: int
-    segments: list  # _NarrowRun | _WideGap, in level order
+    segments: list  # _NarrowRun | _WideRun, in level order
     max_abs_value: int  # packed-key overflow guard evidence
 
 
@@ -178,11 +202,9 @@ def _pad_up(x: int, m: int) -> int:
 # fits beat fewer compile shapes (the persistent cache amortizes them)
 _RUN_LADDER = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384,
                32768, 65536)
-_GAP_PW = (2048, 6144, 20480)
-_GAP_OW = (1024, 4352, 17536)
-# fine-grained: identity pad steps cost a full-width gather+scan each,
-# so exact-fit rungs beat fewer compile shapes here
-_GAP_T = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
+# wide-run V window-count ladder (VMEM state = 2 * NB * 128 KB);
+# 31 is the hard cap (int32 gather-mask bits) => max level width ~177
+_NB_LADDER = (2, 5, 18, 31)
 # backpointer output rows (per narrow run) are padded to this ladder so
 # the number of distinct Mosaic compile shapes stays small: on MHC,
 # (T, n256, n1024) is otherwise unique per run -> 300+ compiles
@@ -322,7 +344,7 @@ def plan_pairs(
             j = l
             while j < L1 and not narrow[j]:
                 j += 1
-            segments.append(_plan_wide_gap(l, j, widths, pair_tables_g, R))
+            segments.append(_plan_wide_run(l, j, widths, pair_tables_g, R))
             l = j
     if bound[0] * 256 + 255 >= (1 << 30):
         raise ValueError(
@@ -448,85 +470,133 @@ def _plan_narrow_run(t0, t1, widths, pair_tables, R):
     return seg, running_sc
 
 
-def _plan_wide_gap(t0, t1, widths, pair_tables, R):
-    rows = []
+def _plan_wide_run(t0, t1, widths, pair_tables, R):
+    # pass 1: pair tables + window budget
+    tabs = []
+    need_nb = 1
     for t in range(t0, t1):
         k, k2, s1, s2, d1, d2, ws, score, symd, w1 = pair_tables(t)
-        # src layout: narrow pair layout for the gap's first transition,
-        # flat k*k for interior wide levels
-        Bin = _layout(int(widths[t])) if max(
-            int(widths[t]), 1
-        ) <= NARROW_W else int(widths[t])
-        Bout = (
-            _layout(int(widths[t + 1]))
-            if int(widths[t + 1]) <= NARROW_W
-            else int(widths[t + 1])
+        # src/dst layout: narrow pair layout at the run's boundaries,
+        # flat k*k for wide levels
+        Bin = _layout(int(k)) if k <= NARROW_W else int(k)
+        Bout = _layout(int(k2)) if k2 <= NARROW_W else int(k2)
+        gidx = (s1 * Bin + s2).astype(np.int32)
+        dstl = (d1 * Bout + d2).astype(np.int32)
+        need_nb = max(
+            need_nb,
+            (int(gidx.max(initial=0)) >> 10) + 1,
+            (int(dstl.max(initial=0)) >> 10) + 1,
         )
-        gidx = s1 * Bin + s2
-        dstl = d1 * Bout + d2
-        rows.append((gidx, ws, score, dstl, w1, symd, Bin, Bout, k, k2))
+        tabs.append((gidx, ws, score, dstl, w1, symd, Bin, Bout))
+    NB = _ladder_fit(need_nb, _NB_LADDER)
+    if NB > 31:
+        raise ValueError(
+            f"wide run needs {NB} 1024-lane V windows (> 31, the int32 "
+            "gather-mask limit); use the chunked backend"
+        )
 
-    need_out = max(
-        (r[7] * r[7] if r[9] > NARROW_W else 1024) for r in rows
-    )
-    OW = _ladder_fit(need_out, _GAP_OW)
-    need_sw = max(
-        max((r[6] * r[6] if r[8] > NARROW_W else 1024), OW) for r in rows
-    )
-    SW = _ladder_fit(need_sw, _GAP_OW)
-    T = _ladder_fit(len(rows), _GAP_T)
-    # identity pad steps map every out lane from itself, so the pair
-    # axis must cover OW whenever the step count is padded
-    need_pw = max(len(r[0]) for r in rows)
-    if T > len(rows):
-        need_pw = max(need_pw, OW)
-    PW = _ladder_fit(need_pw, _GAP_PW)
+    # pass 2: chunk each transition, splitting at 1024-lane dst-window
+    # boundaries (dst-sorted pairs => windows ascend monotonically)
+    chunks = []  # (trans_idx, lane_slice, win)
+    per_tr = []  # (nch, ext, rowbase)
+    rowbase = 0
+    for ti, (gidx, ws, score, dstl, w1, symd, Bin, Bout) in enumerate(tabs):
+        win = dstl >> 10
+        # boundaries where the window changes
+        cuts = np.flatnonzero(np.diff(win)) + 1
+        bounds = np.concatenate([[0], cuts, [len(dstl)]])
+        nch = 0
+        local = []
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            for c0 in range(int(b0), int(b1), CHUNK):
+                local.append((c0, min(c0 + CHUNK, int(b1)), int(win[c0])))
+                nch += 1
+        ext = (int(dstl.max(initial=0)) >> 10) + 1
+        per_tr.append((local, ext, rowbase))
+        rowbase += ext
+    nrows = rowbase
 
-    gidx = np.zeros((T, PW), np.int32)
-    wsum = np.zeros((T, PW), np.int32)
-    score = np.full((T, PW), PAD_SC, np.int32)
-    seg = np.full((T, PW), -1, np.int32)
-    lastE = np.full((T, OW), -1, np.int32)
-    w1 = np.zeros((T, PW), np.int8)
-    symd = np.zeros((T, PW), np.int16)
+    nreal = sum(len(local) for local, _, _ in per_tr)
+    npad = _ladder_fit(nreal, _RUN_LADDER)
+    tbl = np.zeros((npad, 8, CHUNK), np.int32)
+    tbl[:, 1] = PAD_SC
+    tbl[:, 3] = -1
+    tbl[:, 4:8] = -1
+    w1a = np.zeros((npad, CHUNK), np.int8)
+    syma = np.zeros((npad, CHUNK), np.int16)
+    wbits = np.zeros(npad, np.int32)
+    wwin = np.zeros(npad, np.int32)
+    wext = np.ones(npad, np.int32)
+    wbase = np.zeros(npad, np.int32)
+    wgmask = np.zeros(npad, np.int32)
+    wrow = np.zeros(npad, np.int32)
+    T = t1 - t0
+    tb_chunkbase = np.zeros(T, np.int32)
+    tb_bits = np.full(T, 2, np.int32)  # 1024-class bp for traceback
+    tb_bprow = np.zeros(T, np.int32)
     tb_bin = np.zeros(T, np.int32)
-    tb_bout = np.ones(T, np.int32)
-    for i, (g, ws, sc, dl, w1r, sy, Bin, Bout, k, k2) in enumerate(rows):
-        n = len(g)
-        gidx[i, :n] = g
-        wsum[i, :n] = ws
-        score[i, :n] = sc
-        seg[i, :n] = dl
-        lastE[i, dl] = np.arange(n)
-        w1[i, :n] = w1r
-        symd[i, :n] = sy
-        tb_bin[i] = Bin
-        tb_bout[i] = Bout
-    # pad steps: identity-ish no-op — keep V unchanged by mapping every
-    # out lane from itself with weight 0 and score 0
-    for i in range(len(rows), T):
-        idf = np.arange(OW, dtype=np.int32)
-        gidx[i, :OW] = idf
-        wsum[i, :OW] = 0
-        score[i, :OW] = 0
-        seg[i, :OW] = idf
-        lastE[i] = idf
-        tb_bin[i] = 1
-        tb_bout[i] = 1
-    return _WideGap(
+    tb_bout = np.zeros(T, np.int32)
+
+    crow = 0
+    for ti, (gidx, ws, score, dstl, w1, symd, Bin, Bout) in enumerate(tabs):
+        local, ext, rb = per_tr[ti]
+        tb_chunkbase[ti] = crow
+        tb_bprow[ti] = rb
+        tb_bin[ti] = Bin
+        tb_bout[ti] = Bout
+        seen_win = set()
+        for ci, (c0, c1, win) in enumerate(local):
+            n = c1 - c0
+            row = crow + ci
+            tbl[row, 0, :n] = gidx[c0:c1]
+            tbl[row, 1, :n] = score[c0:c1]
+            tbl[row, 2, :n] = ws[c0:c1]
+            rel = dstl[c0:c1] - win * 1024
+            tbl[row, 3, :n] = rel
+            le = np.full(1024, -1, np.int32)
+            le[rel] = np.arange(n, dtype=np.int32)  # ascending: last wins
+            tbl[row, 4:8] = le.reshape(4, CHUNK)
+            w1a[row, :n] = w1[c0:c1]
+            syma[row, :n] = symd[c0:c1]
+            bits = 0
+            if win not in seen_win:
+                seen_win.add(win)
+                bits |= 1  # window-first: init Vnext window + bp block
+            if ci == len(local) - 1:
+                bits |= 2  # commit Vnext -> Vnow
+            wbits[row] = bits
+            wwin[row] = win
+            wext[row] = ext
+            wbase[row] = ci * CHUNK
+            wgmask[row] = int(
+                np.bitwise_or.reduce(
+                    np.left_shift(1, np.unique(gidx[c0:c1] >> 10))
+                )
+            )
+            wrow[row] = rb + win
+        crow += len(local)
+    # padded grid steps: repeat the final row indices (no map regression)
+    if nreal:
+        wrow[nreal:] = wrow[nreal - 1]
+        wwin[nreal:] = wwin[nreal - 1]
+        wext[nreal:] = wext[nreal - 1]
+    return _WideRun(
         t0=t0,
         t1=t1,
-        SW=SW,
-        PW=PW,
-        OW=OW,
-        T=T,
-        gidx=gidx,
-        wsum=wsum,
-        score=score,
-        seg=seg,
-        lastE=lastE,
-        w1=w1,
-        symd=symd,
+        NB=NB,
+        tbl=tbl,
+        w1=w1a,
+        symd=syma,
+        wbits=wbits,
+        wwin=wwin,
+        wext=wext,
+        wbase=wbase,
+        wgmask=wgmask,
+        wrow=wrow,
+        nrows=max(nrows, 1),
+        tb_chunkbase=tb_chunkbase,
+        tb_bits=tb_bits,
+        tb_bprow=tb_bprow,
         tb_bin=tb_bin,
         tb_bout=tb_bout,
     )
@@ -746,60 +816,194 @@ def _narrow_call(seg: _NarrowRun, R1: int, interpret: bool = False):
 # --------------------------------------------------------------------
 
 
-def _gap_fn(SW, PW, OW, T, R1):
-    """jitted scan over a wide gap; V carry [R1, SW] — only the real
-    R+1 recombination rows (the Pallas runs pad to R1P=32, but the XLA
-    gathers/scans here are the dominant cost, so the 40% row padding is
-    sliced off at the boundary). Input/output padded back to
-    [R1P, 1024] for the neighbouring Pallas runs; bp rows padded to R1P
-    so traceback indexing is uniform."""
+def _wide_kernel(NB: int, T_static: int):
+    """Wide-run kernel: V in a [R1P, NB*1024] double-buffered VMEM
+    scratch; one 256-pair chunk per grid step. All window addressing is
+    static-branch (pl.when on prefetched scalars) — no dynamic lane
+    slicing, which Mosaic restricts."""
     import jax
     import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    def seg_combine(a, b):
-        (sega, va, sa), (segb, vb, sb) = a, b
-        same = segb == sega
-        better = same & ((va > vb) | ((va == vb) & (sa < sb)))
-        return (
-            segb,
-            jnp.where(better, va, vb),
-            jnp.where(better, sa, sb),
-        )
+    def kern(
+        wbits_ref,
+        wwin_ref,
+        wext_ref,
+        wbase_ref,
+        wgmask_ref,
+        wrow_ref,
+        tbl_ref,
+        vinit_ref,
+        bp_ref,
+        vout_ref,
+        Vnow,
+        Vnext,
+        candf,
+    ):
+        t = pl.program_id(0)
+        T = T_static
+        bits = wbits_ref[t]
+        win = wwin_ref[t]
+        ext = wext_ref[t]
+        base = wbase_ref[t]
+        gmask = wgmask_ref[t]
+        win_first = (bits & 1) != 0
+        commit = (bits & 2) != 0
 
-    def step(V, xs):
-        gidx, wsum, score, seg, lastE = xs
-        g0 = jnp.take(V, gidx, axis=1)  # [R1, PW]
-        ri = jnp.arange(R1, dtype=jnp.int32)[:, None]
-        g1 = jnp.where(ri >= 1, jnp.roll(g0, 1, axis=0), NEG)
-        g2 = jnp.where(ri >= 2, jnp.roll(g0, 2, axis=0), NEG)
-        c = jnp.where(wsum == 0, g0, jnp.where(wsum == 1, g1, g2))
-        v = jnp.where(
-            (c < REACH_T) | (seg < 0), jnp.int32(INVALID), c + score
-        )
-        slot = jnp.broadcast_to(
-            jnp.arange(PW, dtype=jnp.int32)[None, :], v.shape
-        )
-        segb = jnp.broadcast_to(seg[None, :], v.shape)
-        _, mv, ms = jax.lax.associative_scan(
-            seg_combine, (segb, v, slot), axis=1
-        )
-        ev = jnp.where(
-            lastE[None, :] >= 0,
-            jnp.take(mv, jnp.maximum(lastE, 0), axis=1),
+        @pl.when(t == 0)
+        def _():
+            for b in range(NB):
+                Vnow[:, b * 1024 : (b + 1) * 1024] = jnp.full(
+                    (R1P, 1024), NEG, jnp.int32
+                )
+            Vnow[:, :1024] = vinit_ref[...]
+
+        tbl = tbl_ref[0]  # [8, CHUNK]
+        gidx = tbl[0]
+        sc = tbl[1]
+        wsum = tbl[2]
+        dst = tbl[3]  # window-relative dst lane (-1 pad)
+
+        # ---- gather: block-masked one-hot matmuls over src windows ----
+        candf[...] = jnp.zeros((R1P, CHUNK), jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1024, CHUNK), 0)
+        for b in range(NB):
+
+            @pl.when((gmask >> b) & 1 != 0)
+            def _(b=b):
+                G = (rows == (gidx[None, :] - b * 1024)).astype(jnp.float32)
+                candf[...] += jax.lax.dot_general(
+                    Vnow[:, b * 1024 : (b + 1) * 1024].astype(jnp.float32),
+                    G,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_DOT_PRECISION,
+                )
+
+        g0 = candf[...].astype(jnp.int32)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (R1P, CHUNK), 0)
+        g1 = jnp.where(ri >= 1, pltpu.roll(g0, 1, 0), NEG)
+        g2 = jnp.where(ri >= 2, pltpu.roll(g0, 2, 0), NEG)
+        wb = wsum[None, :]
+        c = jnp.where(wb == 0, g0, jnp.where(wb == 1, g1, g2))
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        slotc = (CHUNK - 1) - lane
+        kv = jnp.where(
+            c < REACH_T,
             jnp.int32(INVALID),
+            (c + sc[None, :]) * CHUNK + slotc,
         )
-        es = jnp.take(ms, jnp.maximum(lastE, 0), axis=1)
-        Vn = jnp.full((R1, SW), NEG, jnp.int32)
-        Vn = Vn.at[:, :OW].set(jnp.where(ev > REACH_T, ev, jnp.int32(NEG)))
-        return Vn, es.astype(jnp.int32)
+        segb = dst[None, :]
+        s = 1
+        while s < CHUNK:
+            conn = (lane >= s) & (segb == pltpu.roll(segb, s, 1))
+            m = jnp.broadcast_to(conn, (R1P, CHUNK))
+            sv = pltpu.roll(kv, s, 1)
+            kv = jnp.where(m & (sv > kv), sv, kv)
+            s *= 2
 
-    def run(V1024, gidx, wsum, score, seg, lastE):
-        V = jnp.full((R1, SW), NEG, jnp.int32)
-        V = V.at[:, : V1024.shape[1]].set(V1024[:R1])
-        Vf, bp = jax.lax.scan(step, V, (gidx, wsum, score, seg, lastE))
-        Vout = jnp.full((R1P, 1024), NEG, jnp.int32)
-        Vout = Vout.at[:R1].set(Vf[:, :1024])
-        return Vout, bp  # bp [T, R1, OW] (traceback reads r <= R only)
+        vfin = jax.lax.shift_right_arithmetic(kv, 8)
+        slot = (CHUNK - 1) - jnp.bitwise_and(kv, CHUNK - 1)
+        OFF = jnp.int32(1 << 22)
+        stacked = jnp.concatenate([vfin + OFF, slot + 1], axis=0)
+        rowsE = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+        E = jnp.concatenate(
+            [
+                (rowsE == tbl[4 + b][None, :]).astype(jnp.float32)
+                for b in range(4)
+            ],
+            axis=1,
+        )
+        ex = jax.lax.dot_general(
+            stacked.astype(jnp.float32),
+            E,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_DOT_PRECISION,
+        ).astype(jnp.int32)
+        exv = jnp.where(ex[:R1P] > 0, ex[:R1P] - OFF, jnp.int32(INVALID))
+        exs = ex[R1P:] - 1 + base
+
+        # ---- RMW into the destination window of Vnext + bp block ----
+        for b in range(NB):
+
+            @pl.when(win == b)
+            def _(b=b):
+                old = jnp.where(
+                    win_first,
+                    jnp.int32(NEG),
+                    Vnext[:, b * 1024 : (b + 1) * 1024],
+                )
+                # int32 bp: a single wide transition can exceed 2^15
+                # pair ordinals (the narrow kernel's int16 limit)
+                bpold = jnp.where(win_first, jnp.int32(0), bp_ref[0])
+                take = exv > old
+                Vnext[:, b * 1024 : (b + 1) * 1024] = jnp.where(
+                    take, exv, old
+                )
+                bp_ref[0] = jnp.where(take, exs, bpold)
+
+        # ---- end of transition: promote Vnext to Vnow ----
+        @pl.when(commit)
+        def _():
+            for b in range(NB):
+
+                @pl.when(b < ext)
+                def _(b=b):
+                    nv = Vnext[:, b * 1024 : (b + 1) * 1024]
+                    Vnow[:, b * 1024 : (b + 1) * 1024] = jnp.where(
+                        nv > REACH_T, nv, jnp.int32(NEG)
+                    )
+
+        @pl.when(t == T - 1)
+        def _():
+            vout_ref[...] = Vnow[:, :1024]
+
+    return kern
+
+
+def _wide_call(seg: _WideRun, R1: int, interpret: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T = len(seg.wbits)
+    NB = seg.NB
+    kern = _wide_kernel(NB, T)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 8, CHUNK), lambda t, *s: (t, 0, 0)),
+            pl.BlockSpec((R1P, 1024), lambda t, *s: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, R1P, 1024), lambda t, b1, b2, b3, b4, b5, rw: (rw[t], 0, 0)
+            ),
+            pl.BlockSpec((R1P, 1024), lambda t, *s: (0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R1P, NB * 1024), jnp.int32),
+            pltpu.VMEM((R1P, NB * 1024), jnp.int32),
+            pltpu.VMEM((R1P, CHUNK), jnp.float32),
+        ],
+    )
+    nrowsp = _ladder_fit(seg.nrows, _BP_LADDER)
+
+    def run(wbits, wwin, wext, wbase, wgmask, wrow, tbl, vinit):
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((nrowsp, R1P, 1024), jnp.int32),
+                jax.ShapeDtypeStruct((R1P, 1024), jnp.int32),
+            ),
+            interpret=interpret,
+        )(wbits, wwin, wext, wbase, wgmask, wrow, tbl, vinit)
 
     return run
 
@@ -824,8 +1028,11 @@ def _narrow_trace(bp256, bp1024, tbl, w1t, syt, xs, carry):
         s256 = jax.lax.dynamic_slice(
             bp256, (bprow, r, jnp.minimum(lane, CHUNK - 1)), (1, 1, 1)
         )[0, 0, 0].astype(jnp.int32)
+        # wide runs store one 1024-lane bp block per (transition,
+        # window): row = transition base + lane's window. Narrow
+        # transitions have lane < 1024, so the offset is 0 there.
         s1024 = jax.lax.dynamic_slice(
-            bp1024, (bprow, r, lane), (1, 1, 1)
+            bp1024, (bprow + lane // 1024, r, lane % 1024), (1, 1, 1)
         )[0, 0, 0].astype(jnp.int32)
         slot = jnp.where(out1024, s1024, s256)
         crow = chunkbase + slot // CHUNK
@@ -836,42 +1043,6 @@ def _narrow_trace(bp256, bp1024, tbl, w1t, syt, xs, carry):
             jnp.int32
         )
         sy = jax.lax.dynamic_slice(syt, (crow, lanec), (1, 1))[0, 0].astype(
-            jnp.int32
-        )
-        pi = gidx // bin_
-        pj = gidx % bin_
-        i2 = lane // bout
-        j2 = lane % bout
-        rec = jnp.stack([pi, pj, i2, j2, w1, wsum - w1, sy])
-        on = active != 0
-        c2 = (
-            jnp.where(on, gidx, lane),
-            jnp.where(on, r - wsum, r),
-            jnp.where(on, sh + sy, sh),
-        )
-        return c2, rec
-
-    return jax.lax.scan(f, carry, xs)
-
-
-def _gap_trace(bp, gidxt, wsumt, w1t, syt, xs, carry):
-    """Reverse scan over a wide gap. xs rows reversed + tail-padded:
-    step index, bin, bout, active."""
-    import jax
-    import jax.numpy as jnp
-
-    def f(c, x):
-        lane, r, sh = c
-        step, bin_, bout, active = x
-        slot = jax.lax.dynamic_slice(bp, (step, r, lane), (1, 1, 1))[
-            0, 0, 0
-        ]
-        gidx = jax.lax.dynamic_slice(gidxt, (step, slot), (1, 1))[0, 0]
-        wsum = jax.lax.dynamic_slice(wsumt, (step, slot), (1, 1))[0, 0]
-        w1 = jax.lax.dynamic_slice(w1t, (step, slot), (1, 1))[0, 0].astype(
-            jnp.int32
-        )
-        sy = jax.lax.dynamic_slice(syt, (step, slot), (1, 1))[0, 0].astype(
             jnp.int32
         )
         pi = gidx // bin_
@@ -921,7 +1092,8 @@ def _enable_compile_cache():
 
 
 class PairDiploidDP:
-    """Pallas narrow runs + XLA wide gaps; single value fetch at the end.
+    """Pallas narrow runs + Pallas wide runs; single value fetch at the
+    end of the forward pass.
 
     Same output contract as the other device tiers:
     run() -> (sink_value, sink_s_het, transitions) with transitions a
@@ -970,11 +1142,13 @@ class PairDiploidDP:
                         tuple(
                             put(a)
                             for a in (
-                                seg.gidx,
-                                seg.wsum,
-                                seg.score,
-                                seg.seg,
-                                seg.lastE,
+                                seg.wbits,
+                                seg.wwin,
+                                seg.wext,
+                                seg.wbase,
+                                seg.wgmask,
+                                seg.wrow,
+                                seg.tbl,
                             )
                         ),
                     )
@@ -997,13 +1171,18 @@ class PairDiploidDP:
             )
         return self._jits[key]
 
-    def _gap_jit(self, seg):
+    def _wide_jit(self, seg):
         import jax
 
-        key = ("w", seg.SW, seg.PW, seg.OW, seg.T)
+        key = (
+            "w",
+            len(seg.wbits),
+            seg.NB,
+            _ladder_fit(seg.nrows, _BP_LADDER),
+        )
         if key not in self._jits:
             self._jits[key] = jax.jit(
-                _gap_fn(seg.SW, seg.PW, seg.OW, seg.T, self.R + 1)
+                _wide_call(seg, self.R + 1, self.interpret)
             )
         return self._jits[key]
 
@@ -1032,8 +1211,8 @@ class PairDiploidDP:
                 bp256, bp1024, V = fn(*dev, V)
                 bps.append((bp256, bp1024) if keep_bp else None)
             else:
-                fn = self._gap_jit(seg)
-                V, bp = fn(V, *dev)
+                fn = self._wide_jit(seg)
+                bp, V = fn(*dev, V)
                 bps.append(bp if keep_bp else None)
         return (V, bps, v_ins) if keep_v_in else (V, bps)
 
@@ -1084,39 +1263,36 @@ class PairDiploidDP:
             return self._tb[idx]
         put = jax.device_put
         Treal = seg.t1 - seg.t0
-        if kind == "n":
-            xs = np.stack(
-                [
-                    seg.tb_chunkbase,
-                    seg.tb_bits,
-                    seg.tb_bprow,
-                    seg.tb_bin,
-                    seg.tb_bout,
-                    np.ones(Treal, np.int32),
-                ],
-                axis=1,
-            )[::-1]
-            Tp = _ladder_fit(Treal, _RUN_LADDER)
-            pad = np.zeros((Tp - Treal, 6), np.int32)
-            pad[:, 3:5] = 1  # bin/bout 1: no div-by-zero on padded rows
-            xs = np.concatenate([xs, pad]).astype(np.int32)
-            out = (put(xs), put(seg.w1), put(seg.symd))
-        else:
-            xs = np.stack(
-                [
-                    np.arange(Treal, dtype=np.int32),
-                    seg.tb_bin[:Treal],
-                    seg.tb_bout[:Treal],
-                    np.ones(Treal, np.int32),
-                ],
-                axis=1,
-            )[::-1]
-            pad = np.zeros((seg.T - Treal, 4), np.int32)
-            pad[:, 1:3] = 1
-            xs = np.concatenate([xs, pad]).astype(np.int32)
-            out = (put(xs), put(seg.w1), put(seg.symd))
+        # both segment kinds share the 6-column trace row layout:
+        # chunkbase, bits, bprow, bin, bout, active
+        xs = np.stack(
+            [
+                seg.tb_chunkbase,
+                seg.tb_bits,
+                seg.tb_bprow,
+                seg.tb_bin,
+                seg.tb_bout,
+                np.ones(Treal, np.int32),
+            ],
+            axis=1,
+        )[::-1]
+        Tp = _ladder_fit(Treal, _RUN_LADDER)
+        pad = np.zeros((Tp - Treal, 6), np.int32)
+        pad[:, 3:5] = 1  # bin/bout 1: no div-by-zero on padded rows
+        xs = np.concatenate([xs, pad]).astype(np.int32)
+        out = (put(xs), put(seg.w1), put(seg.symd))
         self._tb[idx] = out
         return out
+
+    def _bp256_dummy(self):
+        """1-row zero bp256 for wide-run traces (they are 1024-class)."""
+        import jax
+
+        if not hasattr(self, "_bpd"):
+            self._bpd = jax.device_put(
+                np.zeros((1, R1P, CHUNK), np.int16)
+            )
+        return self._bpd
 
     # ---------------- full run ----------------
     def run(self, verbose: bool = False):
@@ -1136,7 +1312,6 @@ class PairDiploidDP:
         shipped = self._ship()
         if "trace_n" not in self._jits:
             self._jits["trace_n"] = jax.jit(_narrow_trace)
-            self._jits["trace_w"] = jax.jit(_gap_trace)
         nseg = len(shipped)
         rec_chunks = []  # device arrays, reversed order
         for ri, (kind, seg, dev) in enumerate(reversed(shipped)):
@@ -1151,10 +1326,10 @@ class PairDiploidDP:
                 )
                 del bp256, bp1024
             else:
-                fn = self._gap_jit(seg)
-                _, bp = fn(v_ins[idx], *dev)
-                carry, recs = self._jits["trace_w"](
-                    bp, dev[0], dev[1], w1d, syd, xs, carry,
+                fn = self._wide_jit(seg)
+                bp, _ = fn(*dev, v_ins[idx])
+                carry, recs = self._jits["trace_n"](
+                    self._bp256_dummy(), bp, dev[6], w1d, syd, xs, carry,
                 )
                 del bp
             rec_chunks.append((seg.t0, Treal, recs))

@@ -14,7 +14,7 @@ import numpy as np
 import pytest
 
 from dipgenie_tpu.ops.diploid_pallas import (
-    _NARROW_MAX_PAIRS, PairDiploidDP, _NarrowRun, _WideGap, plan_pairs,
+    _NARROW_MAX_PAIRS, PairDiploidDP, _NarrowRun, _WideRun, plan_pairs,
 )
 from dipgenie_tpu.solver.diploid import (
     _forward_exact, build_color_masks, csr_arrays,
@@ -59,7 +59,7 @@ def test_pallas_wide_gap_has_wide_segment():
     chb = [bool(x) for x in rng.random(8) < 0.4]
     plan = plan_pairs(*csr_arrays(g, chb), 4)
     kinds = {type(s) for s in plan.segments}
-    assert _WideGap in kinds and _NarrowRun in kinds
+    assert _WideRun in kinds and _NarrowRun in kinds
 
 
 def _dense_graph(rng, widths, deg, pw=0.25, ncolors=6):
@@ -110,7 +110,7 @@ def test_pallas_int16_bp_overflow_routes_to_wide_path():
     g = _dense_graph(rng, widths, deg=13, pw=0.1)
     chb = [bool(x) for x in rng.random(6) < 0.5]
     plan = plan_pairs(*csr_arrays(g, chb), 3)
-    wide = [s for s in plan.segments if isinstance(s, _WideGap)]
+    wide = [s for s in plan.segments if isinstance(s, _WideRun)]
     assert wide, "big-pair transitions must use the int32-bp gap path"
     _check(g, chb, 3)
 
