@@ -1,11 +1,15 @@
 """Fused single-dispatch TPU diploid pair DP.
 
-The previous device tier (ops/diploid_jax.py) dispatches ~7k XLA
-executables per MHC run (one per scan chunk / big level / resize); on a
-remote-attached TPU the host-side dispatch stream dominates wall time —
-the measured device compute for the whole forward is ~25 ms while the
-dispatch stream costs ~450 ms. This module runs the ENTIRE forward as
-ONE `lax.scan` over all L-1 transitions:
+STATUS (round 4): a compatibility/CPU-mesh tier. The pair-space
+Pallas tier (ops/diploid_pallas.py) is the production TPU backend
+(0.667 s per MHC forward, fetch-terminated); this module's historical
+motivation — collapsing the chunked tier's ~7k dispatches into one —
+was based on block_until_ready timings that round 4 showed are not
+execution barriers (see BENCH_NOTES.md autopsy), and an MHC-scale
+attempt on the real TPU (round 4) crashed the TPU worker outright
+(multi-GB backpointer carry in one program). It remains parity-tested
+(toy e2e + random DAGs) and useful where Mosaic is unavailable. It runs the ENTIRE forward as ONE
+`lax.scan` over all L-1 transitions:
 
   * state V [R+1, Bmax, Bmax] int32 lives in HBM across the scan; each
     transition updates only its bucket's corner slice (stale values
