@@ -62,16 +62,20 @@ NEG = -(2**19)  # unreachable sentinel, re-pinned every level
 # bump when plan layout/ladders change (invalidates on-disk plan caches)
 PLAN_FORMAT = 3
 
-# MXU matmul precision for the in-kernel one-hot gathers/extracts.
-# CRITICAL: the default TPU f32 dot truncates inputs to bf16 (8 mantissa
-# bits), which collapses the value+2^22 offset plane to a constant and
-# silently zeroes the DP (this was round 3's "sink value 0" bug). HIGH
-# (bf16_3x) decomposes each f32 operand into three bf16 planes and is
-# exact for |values| < 2^24 against a 0/1 one-hot; HIGHEST (f32 full)
-# costs ~2x more passes. Parity tests on real TPU gate any change here.
+# MXU matmul exactness for the in-kernel one-hot gathers/extracts.
+# CRITICAL: the default TPU f32 dot truncates inputs to bf16 (8
+# mantissa bits), which collapses the value+2^22 offset plane to a
+# constant and silently zeroes the DP (this was round 3's "sink value
+# 0" bug). The kernels therefore decompose every value operand into
+# THREE 8-bit planes (each exactly representable in bf16; the one-hot
+# side is 0/1, exact) and run ONE default-precision matmul over the
+# stacked planes, recombining p0 + p1*256 + p2*65536 afterwards —
+# exact for values < 2^24 and 2-6x cheaper than Mosaic's HIGHEST
+# (f32-full) passes. Mosaic does not implement Precision.HIGH.
+# Parity tests on real TPU gate any change here.
 import os as _os
 
-_DOT_PRECISION = _os.environ.get("DIPGENIE_DOT_PRECISION", "highest")
+_DOT_PRECISION = _os.environ.get("DIPGENIE_DOT_PRECISION", "default")
 REACH_T = -(2**18)  # values above this are reachable
 INVALID = -(2**30)  # packed-key / candidate sentinel
 PAD_SC = -(2**22)  # score of padded pair lanes (loses every max)
@@ -648,30 +652,37 @@ def _narrow_kernel(R1: int, T_static: int):
         wsum = tbl[2]
         dst = tbl[3]
 
-        # ---- gather: cand[r, p] = V[r, gidx[p]] (one-hot matmul) ----
-        @pl.when(jnp.logical_not(in1024))
-        def _():
-            rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-            G = (rows == gidx[None, :]).astype(jnp.float32)
-            cand[...] = jax.lax.dot_general(
-                V[:, :CHUNK].astype(jnp.float32),
+        # ---- gather: cand[r, p] = V[r, gidx[p]] — ONE default-
+        # precision matmul over three 8-bit planes of (V - NEG)
+        # (bf16-exact; see _DOT_PRECISION comment) ----
+        def plane_gather(Vblk, G):
+            u = Vblk - NEG  # [R1P, W] in [0, 2^22)
+            st = jnp.concatenate(
+                [u & 255, (u >> 8) & 255, u >> 16], axis=0
+            ).astype(jnp.float32)
+            g = jax.lax.dot_general(
+                st,
                 G,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_DOT_PRECISION,
+            )
+            u2 = (
+                g[:R1P] + g[R1P : 2 * R1P] * 256.0 + g[2 * R1P :] * 65536.0
             ).astype(jnp.int32)
+            return u2 + NEG
+
+        @pl.when(jnp.logical_not(in1024))
+        def _():
+            rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+            G = (rows == gidx[None, :]).astype(jnp.float32)
+            cand[...] = plane_gather(V[:, :CHUNK], G)
 
         @pl.when(in1024)
         def _():
             rows = jax.lax.broadcasted_iota(jnp.int32, (1024, CHUNK), 0)
             G = (rows == gidx[None, :]).astype(jnp.float32)
-            cand[...] = jax.lax.dot_general(
-                V[...].astype(jnp.float32),
-                G,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_DOT_PRECISION,
-            ).astype(jnp.int32)
+            cand[...] = plane_gather(V[...], G)
 
         g0 = cand[...]
         ri = jax.lax.broadcasted_iota(jnp.int32, (R1P, CHUNK), 0)
@@ -701,7 +712,10 @@ def _narrow_kernel(R1: int, T_static: int):
         vfin = jax.lax.shift_right_arithmetic(kv, 8)
         slot = (CHUNK - 1) - jnp.bitwise_and(kv, CHUNK - 1)
         OFF = jnp.int32(1 << 22)
-        stacked = jnp.concatenate([vfin + OFF, slot + 1], axis=0)
+        voff = vfin + OFF  # in [0, 2^23) for valid, 0 for INVALID
+        stacked = jnp.concatenate(
+            [voff & 255, (voff >> 8) & 255, voff >> 16, slot + 1], axis=0
+        )
 
         base = sbase_ref[t]
 
@@ -723,9 +737,14 @@ def _narrow_kernel(R1: int, T_static: int):
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_DOT_PRECISION,
+            )
+            exr = (
+                ex[:R1P]
+                + ex[R1P : 2 * R1P] * 256.0
+                + ex[2 * R1P : 3 * R1P] * 65536.0
             ).astype(jnp.int32)
-            exv = jnp.where(ex[:R1P] > 0, ex[:R1P] - OFF, jnp.int32(INVALID))
-            exs = ex[R1P:] - 1 + base
+            exv = jnp.where(exr > 0, exr - OFF, jnp.int32(INVALID))
+            exs = ex[3 * R1P :].astype(jnp.int32) - 1 + base
             av = accv[:, :OUT]
             take = exv > av
             nv = jnp.where(first, exv, jnp.where(take, exv, av))
@@ -865,23 +884,31 @@ def _wide_kernel(NB: int, T_static: int):
         wsum = tbl[2]
         dst = tbl[3]  # window-relative dst lane (-1 pad)
 
-        # ---- gather: block-masked one-hot matmuls over src windows ----
-        candf[...] = jnp.zeros((R1P, CHUNK), jnp.float32)
+        # ---- gather: block-masked one-hot matmuls over src windows,
+        # accumulating three 8-bit planes of (V - NEG) (bf16-exact) ----
+        candf[...] = jnp.zeros((3 * R1P, CHUNK), jnp.float32)
         rows = jax.lax.broadcasted_iota(jnp.int32, (1024, CHUNK), 0)
         for b in range(NB):
 
             @pl.when((gmask >> b) & 1 != 0)
             def _(b=b):
                 G = (rows == (gidx[None, :] - b * 1024)).astype(jnp.float32)
+                u = Vnow[:, b * 1024 : (b + 1) * 1024] - NEG
+                st = jnp.concatenate(
+                    [u & 255, (u >> 8) & 255, u >> 16], axis=0
+                ).astype(jnp.float32)
                 candf[...] += jax.lax.dot_general(
-                    Vnow[:, b * 1024 : (b + 1) * 1024].astype(jnp.float32),
+                    st,
                     G,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=_DOT_PRECISION,
                 )
 
-        g0 = candf[...].astype(jnp.int32)
+        cf = candf[...]
+        g0 = (
+            cf[:R1P] + cf[R1P : 2 * R1P] * 256.0 + cf[2 * R1P :] * 65536.0
+        ).astype(jnp.int32) + NEG
         ri = jax.lax.broadcasted_iota(jnp.int32, (R1P, CHUNK), 0)
         g1 = jnp.where(ri >= 1, pltpu.roll(g0, 1, 0), NEG)
         g2 = jnp.where(ri >= 2, pltpu.roll(g0, 2, 0), NEG)
@@ -907,7 +934,10 @@ def _wide_kernel(NB: int, T_static: int):
         vfin = jax.lax.shift_right_arithmetic(kv, 8)
         slot = (CHUNK - 1) - jnp.bitwise_and(kv, CHUNK - 1)
         OFF = jnp.int32(1 << 22)
-        stacked = jnp.concatenate([vfin + OFF, slot + 1], axis=0)
+        voff = vfin + OFF
+        stacked = jnp.concatenate(
+            [voff & 255, (voff >> 8) & 255, voff >> 16, slot + 1], axis=0
+        )
         rowsE = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
         E = jnp.concatenate(
             [
@@ -922,9 +952,14 @@ def _wide_kernel(NB: int, T_static: int):
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_DOT_PRECISION,
+        )
+        exr = (
+            ex[:R1P]
+            + ex[R1P : 2 * R1P] * 256.0
+            + ex[2 * R1P : 3 * R1P] * 65536.0
         ).astype(jnp.int32)
-        exv = jnp.where(ex[:R1P] > 0, ex[:R1P] - OFF, jnp.int32(INVALID))
-        exs = ex[R1P:] - 1 + base
+        exv = jnp.where(exr > 0, exr - OFF, jnp.int32(INVALID))
+        exs = ex[3 * R1P :].astype(jnp.int32) - 1 + base
 
         # ---- RMW into the destination window of Vnext + bp block ----
         for b in range(NB):
@@ -989,7 +1024,7 @@ def _wide_call(seg: _WideRun, R1: int, interpret: bool = False):
         scratch_shapes=[
             pltpu.VMEM((R1P, NB * 1024), jnp.int32),
             pltpu.VMEM((R1P, NB * 1024), jnp.int32),
-            pltpu.VMEM((R1P, CHUNK), jnp.float32),
+            pltpu.VMEM((3 * R1P, CHUNK), jnp.float32),
         ],
     )
     nrowsp = _ladder_fit(seg.nrows, _BP_LADDER)
