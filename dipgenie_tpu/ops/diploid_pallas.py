@@ -60,7 +60,7 @@ import numpy as np
 NEG = -(2**19)  # unreachable sentinel, re-pinned every level
 
 # bump when plan layout/ladders change (invalidates on-disk plan caches)
-PLAN_FORMAT = 3
+PLAN_FORMAT = 4
 
 # MXU matmul exactness for the in-kernel one-hot gathers/extracts.
 # CRITICAL: the default TPU f32 dot truncates inputs to bf16 (8
@@ -429,7 +429,7 @@ def _plan_narrow_run(t0, t1, widths, pair_tables, R):
         syma[rows] = sbuf.reshape(nch, CHUNK)
 
         out1024 = Bout == 32
-        bits = (1 if Bin == 32 else 0) | (2 if out1024 else 0)
+        bits = (1 if Bin == 32 else 0) | (2 if out1024 else 0) | 16
         sbits[rows] = bits
         sbits[crow] |= 4
         sbits[crow + nch - 1] |= 8
@@ -568,7 +568,7 @@ def _plan_wide_run(t0, t1, widths, pair_tables, R):
                 bits |= 1  # window-first: init Vnext window + bp block
             if ci == len(local) - 1:
                 bits |= 2  # commit Vnext -> Vnow
-            wbits[row] = bits
+            wbits[row] = bits | 4  # bit 4: real (ladder pads skip)
             wwin[row] = win
             wext[row] = ext
             wbase[row] = ci * CHUNK
@@ -641,139 +641,142 @@ def _narrow_kernel(R1: int, T_static: int):
         out1024 = (bits & 2) != 0
         first = (bits & 4) != 0
         last = (bits & 8) != 0
+        real = (bits & 16) != 0  # ladder-padded chunks skip all compute
 
         @pl.when(t == 0)
         def _():
             V[...] = vinit_ref[...]
 
-        tbl = tbl_ref[0]  # [8, CHUNK]
-        gidx = tbl[0]
-        sc = tbl[1]
-        wsum = tbl[2]
-        dst = tbl[3]
-
-        # ---- gather: cand[r, p] = V[r, gidx[p]] — ONE default-
-        # precision matmul over three 8-bit planes of (V - NEG)
-        # (bf16-exact; see _DOT_PRECISION comment) ----
-        def plane_gather(Vblk, G):
-            u = Vblk - NEG  # [R1P, W] in [0, 2^22)
-            st = jnp.concatenate(
-                [u & 255, (u >> 8) & 255, u >> 16], axis=0
-            ).astype(jnp.float32)
-            g = jax.lax.dot_general(
-                st,
-                G,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_DOT_PRECISION,
-            )
-            u2 = (
-                g[:R1P] + g[R1P : 2 * R1P] * 256.0 + g[2 * R1P :] * 65536.0
-            ).astype(jnp.int32)
-            return u2 + NEG
-
-        @pl.when(jnp.logical_not(in1024))
+        @pl.when(real)
         def _():
-            rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-            G = (rows == gidx[None, :]).astype(jnp.float32)
-            cand[...] = plane_gather(V[:, :CHUNK], G)
+            tbl = tbl_ref[0]  # [8, CHUNK]
+            gidx = tbl[0]
+            sc = tbl[1]
+            wsum = tbl[2]
+            dst = tbl[3]
 
-        @pl.when(in1024)
-        def _():
-            rows = jax.lax.broadcasted_iota(jnp.int32, (1024, CHUNK), 0)
-            G = (rows == gidx[None, :]).astype(jnp.float32)
-            cand[...] = plane_gather(V[...], G)
-
-        g0 = cand[...]
-        ri = jax.lax.broadcasted_iota(jnp.int32, (R1P, CHUNK), 0)
-        g1 = jnp.where(ri >= 1, pltpu.roll(g0, 1, 0), NEG)
-        g2 = jnp.where(ri >= 2, pltpu.roll(g0, 2, 0), NEG)
-        wb = wsum[None, :]
-        c = jnp.where(wb == 0, g0, jnp.where(wb == 1, g1, g2))
-
-        # packed key (value*256 | slotcode), slotcode = CHUNK-1-lane
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-        slotc = (CHUNK - 1) - lane
-        kv = jnp.where(
-            c < REACH_T,
-            jnp.int32(INVALID),
-            (c + sc[None, :]) * CHUNK + slotc,
-        )
-
-        segb = dst[None, :]
-        s = 1
-        while s < CHUNK:
-            conn = (lane >= s) & (segb == pltpu.roll(segb, s, 1))
-            m = jnp.broadcast_to(conn, (R1P, CHUNK))
-            sv = pltpu.roll(kv, s, 1)
-            kv = jnp.where(m & (sv > kv), sv, kv)
-            s *= 2
-
-        vfin = jax.lax.shift_right_arithmetic(kv, 8)
-        slot = (CHUNK - 1) - jnp.bitwise_and(kv, CHUNK - 1)
-        OFF = jnp.int32(1 << 22)
-        voff = vfin + OFF  # in [0, 2^23) for valid, 0 for INVALID
-        stacked = jnp.concatenate(
-            [voff & 255, (voff >> 8) & 255, voff >> 16, slot + 1], axis=0
-        )
-
-        base = sbase_ref[t]
-
-        def extract_and_acc(OUT):
-            # lastE lives in tbl rows 4..7 (256 out lanes per row); build
-            # E block-wise over the lane axis (Mosaic cannot reshape a
-            # [4, 256] vector into [1024])
-            rowsE = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-            E = jnp.concatenate(
-                [
-                    (rowsE == tbl[4 + b][None, :]).astype(jnp.float32)
-                    for b in range(OUT // CHUNK)
-                ],
-                axis=1,
-            )
-            ex = jax.lax.dot_general(
-                stacked.astype(jnp.float32),
-                E,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_DOT_PRECISION,
-            )
-            exr = (
-                ex[:R1P]
-                + ex[R1P : 2 * R1P] * 256.0
-                + ex[2 * R1P : 3 * R1P] * 65536.0
-            ).astype(jnp.int32)
-            exv = jnp.where(exr > 0, exr - OFF, jnp.int32(INVALID))
-            exs = ex[3 * R1P :].astype(jnp.int32) - 1 + base
-            av = accv[:, :OUT]
-            take = exv > av
-            nv = jnp.where(first, exv, jnp.where(take, exv, av))
-            ns = jnp.where(
-                first, exs, jnp.where(take, exs, accs[:, :OUT])
-            )
-            accv[:, :OUT] = nv
-            accs[:, :OUT] = ns
-            return nv, ns
-
-        @pl.when(jnp.logical_not(out1024))
-        def _():
-            nv, ns = extract_and_acc(CHUNK)
-
-            @pl.when(last)
-            def _():
-                V[:, :CHUNK] = jnp.where(
-                    nv > REACH_T, nv, jnp.int32(NEG)
+            # ---- gather: cand[r, p] = V[r, gidx[p]] — ONE default-
+            # precision matmul over three 8-bit planes of (V - NEG)
+            # (bf16-exact; see _DOT_PRECISION comment) ----
+            def plane_gather(Vblk, G):
+                u = Vblk - NEG  # [R1P, W] in [0, 2^22)
+                st = jnp.concatenate(
+                    [u & 255, (u >> 8) & 255, u >> 16], axis=0
+                ).astype(jnp.float32)
+                g = jax.lax.dot_general(
+                    st,
+                    G,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_DOT_PRECISION,
                 )
-                bp256_ref[0] = ns.astype(jnp.int16)
+                u2 = (
+                    g[:R1P] + g[R1P : 2 * R1P] * 256.0 + g[2 * R1P :] * 65536.0
+                ).astype(jnp.int32)
+                return u2 + NEG
 
-        @pl.when(out1024)
-        def _():
-            nv, ns = extract_and_acc(1024)
-
-            @pl.when(last)
+            @pl.when(jnp.logical_not(in1024))
             def _():
-                V[...] = jnp.where(nv > REACH_T, nv, jnp.int32(NEG))
-                bp1024_ref[0] = ns.astype(jnp.int16)
+                rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+                G = (rows == gidx[None, :]).astype(jnp.float32)
+                cand[...] = plane_gather(V[:, :CHUNK], G)
+
+            @pl.when(in1024)
+            def _():
+                rows = jax.lax.broadcasted_iota(jnp.int32, (1024, CHUNK), 0)
+                G = (rows == gidx[None, :]).astype(jnp.float32)
+                cand[...] = plane_gather(V[...], G)
+
+            g0 = cand[...]
+            ri = jax.lax.broadcasted_iota(jnp.int32, (R1P, CHUNK), 0)
+            g1 = jnp.where(ri >= 1, pltpu.roll(g0, 1, 0), NEG)
+            g2 = jnp.where(ri >= 2, pltpu.roll(g0, 2, 0), NEG)
+            wb = wsum[None, :]
+            c = jnp.where(wb == 0, g0, jnp.where(wb == 1, g1, g2))
+
+            # packed key (value*256 | slotcode), slotcode = CHUNK-1-lane
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            slotc = (CHUNK - 1) - lane
+            kv = jnp.where(
+                c < REACH_T,
+                jnp.int32(INVALID),
+                (c + sc[None, :]) * CHUNK + slotc,
+            )
+
+            segb = dst[None, :]
+            s = 1
+            while s < CHUNK:
+                conn = (lane >= s) & (segb == pltpu.roll(segb, s, 1))
+                m = jnp.broadcast_to(conn, (R1P, CHUNK))
+                sv = pltpu.roll(kv, s, 1)
+                kv = jnp.where(m & (sv > kv), sv, kv)
+                s *= 2
+
+            vfin = jax.lax.shift_right_arithmetic(kv, 8)
+            slot = (CHUNK - 1) - jnp.bitwise_and(kv, CHUNK - 1)
+            OFF = jnp.int32(1 << 22)
+            voff = vfin + OFF  # in [0, 2^23) for valid, 0 for INVALID
+            stacked = jnp.concatenate(
+                [voff & 255, (voff >> 8) & 255, voff >> 16, slot + 1], axis=0
+            )
+
+            base = sbase_ref[t]
+
+            def extract_and_acc(OUT):
+                # lastE lives in tbl rows 4..7 (256 out lanes per row); build
+                # E block-wise over the lane axis (Mosaic cannot reshape a
+                # [4, 256] vector into [1024])
+                rowsE = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+                E = jnp.concatenate(
+                    [
+                        (rowsE == tbl[4 + b][None, :]).astype(jnp.float32)
+                        for b in range(OUT // CHUNK)
+                    ],
+                    axis=1,
+                )
+                ex = jax.lax.dot_general(
+                    stacked.astype(jnp.float32),
+                    E,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_DOT_PRECISION,
+                )
+                exr = (
+                    ex[:R1P]
+                    + ex[R1P : 2 * R1P] * 256.0
+                    + ex[2 * R1P : 3 * R1P] * 65536.0
+                ).astype(jnp.int32)
+                exv = jnp.where(exr > 0, exr - OFF, jnp.int32(INVALID))
+                exs = ex[3 * R1P :].astype(jnp.int32) - 1 + base
+                av = accv[:, :OUT]
+                take = exv > av
+                nv = jnp.where(first, exv, jnp.where(take, exv, av))
+                ns = jnp.where(
+                    first, exs, jnp.where(take, exs, accs[:, :OUT])
+                )
+                accv[:, :OUT] = nv
+                accs[:, :OUT] = ns
+                return nv, ns
+
+            @pl.when(jnp.logical_not(out1024))
+            def _():
+                nv, ns = extract_and_acc(CHUNK)
+
+                @pl.when(last)
+                def _():
+                    V[:, :CHUNK] = jnp.where(
+                        nv > REACH_T, nv, jnp.int32(NEG)
+                    )
+                    bp256_ref[0] = ns.astype(jnp.int16)
+
+            @pl.when(out1024)
+            def _():
+                nv, ns = extract_and_acc(1024)
+
+                @pl.when(last)
+                def _():
+                    V[...] = jnp.where(nv > REACH_T, nv, jnp.int32(NEG))
+                    bp1024_ref[0] = ns.astype(jnp.int16)
 
         @pl.when(t == T - 1)
         def _():
@@ -869,6 +872,7 @@ def _wide_kernel(NB: int, T_static: int):
         gmask = wgmask_ref[t]
         win_first = (bits & 1) != 0
         commit = (bits & 2) != 0
+        real = (bits & 4) != 0  # ladder-padded chunks skip all compute
 
         @pl.when(t == 0)
         def _():
@@ -878,119 +882,121 @@ def _wide_kernel(NB: int, T_static: int):
                 )
             Vnow[:, :1024] = vinit_ref[...]
 
-        tbl = tbl_ref[0]  # [8, CHUNK]
-        gidx = tbl[0]
-        sc = tbl[1]
-        wsum = tbl[2]
-        dst = tbl[3]  # window-relative dst lane (-1 pad)
-
-        # ---- gather: block-masked one-hot matmuls over src windows,
-        # accumulating three 8-bit planes of (V - NEG) (bf16-exact) ----
-        candf[...] = jnp.zeros((3 * R1P, CHUNK), jnp.float32)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (1024, CHUNK), 0)
-        for b in range(NB):
-
-            @pl.when((gmask >> b) & 1 != 0)
-            def _(b=b):
-                G = (rows == (gidx[None, :] - b * 1024)).astype(jnp.float32)
-                u = Vnow[:, b * 1024 : (b + 1) * 1024] - NEG
-                st = jnp.concatenate(
-                    [u & 255, (u >> 8) & 255, u >> 16], axis=0
-                ).astype(jnp.float32)
-                candf[...] += jax.lax.dot_general(
-                    st,
-                    G,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_DOT_PRECISION,
-                )
-
-        cf = candf[...]
-        g0 = (
-            cf[:R1P] + cf[R1P : 2 * R1P] * 256.0 + cf[2 * R1P :] * 65536.0
-        ).astype(jnp.int32) + NEG
-        ri = jax.lax.broadcasted_iota(jnp.int32, (R1P, CHUNK), 0)
-        g1 = jnp.where(ri >= 1, pltpu.roll(g0, 1, 0), NEG)
-        g2 = jnp.where(ri >= 2, pltpu.roll(g0, 2, 0), NEG)
-        wb = wsum[None, :]
-        c = jnp.where(wb == 0, g0, jnp.where(wb == 1, g1, g2))
-
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-        slotc = (CHUNK - 1) - lane
-        kv = jnp.where(
-            c < REACH_T,
-            jnp.int32(INVALID),
-            (c + sc[None, :]) * CHUNK + slotc,
-        )
-        segb = dst[None, :]
-        s = 1
-        while s < CHUNK:
-            conn = (lane >= s) & (segb == pltpu.roll(segb, s, 1))
-            m = jnp.broadcast_to(conn, (R1P, CHUNK))
-            sv = pltpu.roll(kv, s, 1)
-            kv = jnp.where(m & (sv > kv), sv, kv)
-            s *= 2
-
-        vfin = jax.lax.shift_right_arithmetic(kv, 8)
-        slot = (CHUNK - 1) - jnp.bitwise_and(kv, CHUNK - 1)
-        OFF = jnp.int32(1 << 22)
-        voff = vfin + OFF
-        stacked = jnp.concatenate(
-            [voff & 255, (voff >> 8) & 255, voff >> 16, slot + 1], axis=0
-        )
-        rowsE = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-        E = jnp.concatenate(
-            [
-                (rowsE == tbl[4 + b][None, :]).astype(jnp.float32)
-                for b in range(4)
-            ],
-            axis=1,
-        )
-        ex = jax.lax.dot_general(
-            stacked.astype(jnp.float32),
-            E,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_DOT_PRECISION,
-        )
-        exr = (
-            ex[:R1P]
-            + ex[R1P : 2 * R1P] * 256.0
-            + ex[2 * R1P : 3 * R1P] * 65536.0
-        ).astype(jnp.int32)
-        exv = jnp.where(exr > 0, exr - OFF, jnp.int32(INVALID))
-        exs = ex[3 * R1P :].astype(jnp.int32) - 1 + base
-
-        # ---- RMW into the destination window of Vnext + bp block ----
-        for b in range(NB):
-
-            @pl.when(win == b)
-            def _(b=b):
-                old = jnp.where(
-                    win_first,
-                    jnp.int32(NEG),
-                    Vnext[:, b * 1024 : (b + 1) * 1024],
-                )
-                # int32 bp: a single wide transition can exceed 2^15
-                # pair ordinals (the narrow kernel's int16 limit)
-                bpold = jnp.where(win_first, jnp.int32(0), bp_ref[0])
-                take = exv > old
-                Vnext[:, b * 1024 : (b + 1) * 1024] = jnp.where(
-                    take, exv, old
-                )
-                bp_ref[0] = jnp.where(take, exs, bpold)
-
-        # ---- end of transition: promote Vnext to Vnow ----
-        @pl.when(commit)
+        @pl.when(real)
         def _():
+            tbl = tbl_ref[0]  # [8, CHUNK]
+            gidx = tbl[0]
+            sc = tbl[1]
+            wsum = tbl[2]
+            dst = tbl[3]  # window-relative dst lane (-1 pad)
+
+            # ---- gather: block-masked one-hot matmuls over src windows,
+            # accumulating three 8-bit planes of (V - NEG) (bf16-exact) ----
+            candf[...] = jnp.zeros((3 * R1P, CHUNK), jnp.float32)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (1024, CHUNK), 0)
             for b in range(NB):
 
-                @pl.when(b < ext)
+                @pl.when((gmask >> b) & 1 != 0)
                 def _(b=b):
-                    nv = Vnext[:, b * 1024 : (b + 1) * 1024]
-                    Vnow[:, b * 1024 : (b + 1) * 1024] = jnp.where(
-                        nv > REACH_T, nv, jnp.int32(NEG)
+                    G = (rows == (gidx[None, :] - b * 1024)).astype(jnp.float32)
+                    u = Vnow[:, b * 1024 : (b + 1) * 1024] - NEG
+                    st = jnp.concatenate(
+                        [u & 255, (u >> 8) & 255, u >> 16], axis=0
+                    ).astype(jnp.float32)
+                    candf[...] += jax.lax.dot_general(
+                        st,
+                        G,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_DOT_PRECISION,
                     )
+
+            cf = candf[...]
+            g0 = (
+                cf[:R1P] + cf[R1P : 2 * R1P] * 256.0 + cf[2 * R1P :] * 65536.0
+            ).astype(jnp.int32) + NEG
+            ri = jax.lax.broadcasted_iota(jnp.int32, (R1P, CHUNK), 0)
+            g1 = jnp.where(ri >= 1, pltpu.roll(g0, 1, 0), NEG)
+            g2 = jnp.where(ri >= 2, pltpu.roll(g0, 2, 0), NEG)
+            wb = wsum[None, :]
+            c = jnp.where(wb == 0, g0, jnp.where(wb == 1, g1, g2))
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            slotc = (CHUNK - 1) - lane
+            kv = jnp.where(
+                c < REACH_T,
+                jnp.int32(INVALID),
+                (c + sc[None, :]) * CHUNK + slotc,
+            )
+            segb = dst[None, :]
+            s = 1
+            while s < CHUNK:
+                conn = (lane >= s) & (segb == pltpu.roll(segb, s, 1))
+                m = jnp.broadcast_to(conn, (R1P, CHUNK))
+                sv = pltpu.roll(kv, s, 1)
+                kv = jnp.where(m & (sv > kv), sv, kv)
+                s *= 2
+
+            vfin = jax.lax.shift_right_arithmetic(kv, 8)
+            slot = (CHUNK - 1) - jnp.bitwise_and(kv, CHUNK - 1)
+            OFF = jnp.int32(1 << 22)
+            voff = vfin + OFF
+            stacked = jnp.concatenate(
+                [voff & 255, (voff >> 8) & 255, voff >> 16, slot + 1], axis=0
+            )
+            rowsE = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+            E = jnp.concatenate(
+                [
+                    (rowsE == tbl[4 + b][None, :]).astype(jnp.float32)
+                    for b in range(4)
+                ],
+                axis=1,
+            )
+            ex = jax.lax.dot_general(
+                stacked.astype(jnp.float32),
+                E,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_DOT_PRECISION,
+            )
+            exr = (
+                ex[:R1P]
+                + ex[R1P : 2 * R1P] * 256.0
+                + ex[2 * R1P : 3 * R1P] * 65536.0
+            ).astype(jnp.int32)
+            exv = jnp.where(exr > 0, exr - OFF, jnp.int32(INVALID))
+            exs = ex[3 * R1P :].astype(jnp.int32) - 1 + base
+
+            # ---- RMW into the destination window of Vnext + bp block ----
+            for b in range(NB):
+
+                @pl.when(win == b)
+                def _(b=b):
+                    old = jnp.where(
+                        win_first,
+                        jnp.int32(NEG),
+                        Vnext[:, b * 1024 : (b + 1) * 1024],
+                    )
+                    # int32 bp: a single wide transition can exceed 2^15
+                    # pair ordinals (the narrow kernel's int16 limit)
+                    bpold = jnp.where(win_first, jnp.int32(0), bp_ref[0])
+                    take = exv > old
+                    Vnext[:, b * 1024 : (b + 1) * 1024] = jnp.where(
+                        take, exv, old
+                    )
+                    bp_ref[0] = jnp.where(take, exs, bpold)
+
+            # ---- end of transition: promote Vnext to Vnow ----
+            @pl.when(commit)
+            def _():
+                for b in range(NB):
+
+                    @pl.when(b < ext)
+                    def _(b=b):
+                        nv = Vnext[:, b * 1024 : (b + 1) * 1024]
+                        Vnow[:, b * 1024 : (b + 1) * 1024] = jnp.where(
+                            nv > REACH_T, nv, jnp.int32(NEG)
+                        )
 
         @pl.when(t == T - 1)
         def _():
