@@ -178,7 +178,7 @@ def kernel(off_ref, tbl_ref, bp_ref, v_ref, V):
     bp_ref[0, :R1, :] = bp
 
 
-def build(T, spill):
+def build(T):
     tbl, hostE = make_tables(T)
     offs = (np.arange(T) * R1).astype(np.int32)  # row offset into [T*R1, NP2]
 
@@ -229,7 +229,7 @@ def main():
     T2 = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
 
-    fc, ac, hostE = build(40, spill=True)
+    fc, ac, hostE = build(40)
     _, out = timed(fc, ac, "correctness T=40")
     got = np.asarray(out[1]).reshape(R1, B, B)
     want = oracle(hostE)
@@ -245,8 +245,8 @@ def main():
     print(f"bp spill: shape {bp.shape}, nonzero {np.count_nonzero(bp)}",
           flush=True)
 
-    f1, a1, _ = build(T1, spill=True)
-    f2, a2, _ = build(T2, spill=True)
+    f1, a1, _ = build(T1)
+    f2, a2, _ = build(T2)
     timed(f1, a1, f"warmup T={T1}")
     timed(f2, a2, f"warmup T={T2}")
     t1 = min(timed(f1, a1, f"T={T1} rep{i}")[0] for i in range(2))
