@@ -8,7 +8,14 @@ is available (main.cpp:130, 167-199; the stock reference Makefile never
 defines -DILP). We reproduce that behavior and print a note.
 
 Extra flags beyond the reference (prefixed ``--``): --dp-backend,
---progress.
+--sketch-backend, --progress.
+
+Parsed-but-unused flags, for parity — each is equally dead in the
+reference binary:
+  -H (top_k): stored at main.cpp:153 but no downstream read;
+  -c (max_occ): stored at main.cpp:152, never read after;
+  -N (naive expanded graph): stored at main.cpp:176, never read;
+  -l (low coverage): stored at main.cpp:178, never read (ROADMAP #8).
 """
 
 from __future__ import annotations

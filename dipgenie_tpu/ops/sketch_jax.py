@@ -348,7 +348,7 @@ def sketch_reads_device(seqs: list[str], k: int, w: int, batch: int = 2048,
         n_dp = 1
     else:
         from jax.sharding import PartitionSpec as Pspec
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         n_dp = mesh.shape["dp"]
         jit_kernel = jax.jit(
@@ -358,7 +358,7 @@ def sketch_reads_device(seqs: list[str], k: int, w: int, batch: int = 2048,
                 in_specs=(Pspec("dp", None), Pspec("dp")),
                 out_specs=(Pspec("dp", None), Pspec("dp", None),
                            Pspec("dp", None), Pspec("dp", None)),
-                check_rep=False,
+                check_vma=False,
             )
         )
 

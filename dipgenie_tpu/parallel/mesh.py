@@ -51,7 +51,7 @@ def sharded_sketch_count_step(mesh, codes, lens, table_hi, table_lo,
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..ops.sketch_jax import batch_minimizer_kernel
 
@@ -79,7 +79,7 @@ def sharded_sketch_count_step(mesh, codes, lens, table_hi, table_lo,
         mesh=mesh,
         in_specs=(P("dp", None), P("dp"), P(), P()),
         out_specs=(P(), P("dp")),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(codes, lens, table_hi, table_lo)
 

@@ -305,9 +305,29 @@ def diploid_dp_solver(
         else:
             # Mosaic only compiles on TPU; elsewhere (CPU CI) interpret
             interp = _jax.default_backend() != "tpu"
-            sink_val, sink_shet, transitions = PairDiploidDP(
-                plan, interpret=interp
-            ).run(verbose=progress)
+            try:
+                sink_val, sink_shet, transitions = PairDiploidDP(
+                    plan, interpret=interp
+                ).run(verbose=progress)
+            except Exception as e:  # noqa: BLE001
+                # the pipeline auto-routes every TPU session here, so a
+                # Mosaic lowering/compile or runtime failure must fall
+                # back loudly to the chunked tier instead of aborting
+                # the whole pipeline (round-4 advisor finding)
+                print(
+                    f"[W::diploid_dp] pallas tier failed at runtime "
+                    f"({type(e).__name__}: {e}); falling back to the "
+                    "chunked jax tier",
+                    file=sys.stderr,
+                )
+                from ..ops.diploid_jax import (
+                    DeviceDiploidDP, plan_transitions,
+                )
+
+                jplan = plan_transitions(*csr_arrays(g, color_homo_bv))
+                sink_val, sink_shet, transitions = DeviceDiploidDP(
+                    jplan, R, mesh=mesh
+                ).run()
     else:
         Hm, Tm = build_color_masks(g, color_homo_bv)
         sink_val, sink_shet, transitions = _forward_exact(
