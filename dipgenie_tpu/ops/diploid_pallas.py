@@ -60,7 +60,20 @@ import numpy as np
 NEG = -(2**19)  # unreachable sentinel, re-pinned every level
 
 # bump when plan layout/ladders change (invalidates on-disk plan caches)
-PLAN_FORMAT = 4
+PLAN_FORMAT = 6
+
+# packed chunk-table layout (PLAN_FORMAT 6): tbl is [nchunks, 2, CHUNK]
+#   row 0: gidx << 13 | (dst + 1) << 2 | wsum   (gidx < 2^15 = NB_max*1024
+#          + narrow layouts; dst+1 in [0, 1024] — 0 marks a padded lane;
+#          wsum in {0, 1, 2})
+#   row 1: score (PAD_SC on padded lanes)
+# The extract one-hot (formerly rows 4..7, "last chunk-lane per out
+# lane") is reconstructed IN-KERNEL from dst: pairs are dst-sorted
+# within a chunk, so the last occurrence of each dst is the lane whose
+# successor differs — one compare per lane, no 4x256 table. This
+# quarters the per-plan HBM shipping (MHC: ~2 GB -> ~0.5 GB) and
+# removes the planner's lastE scatter pass.
+_TBL_ROWS = 2
 
 # MXU matmul exactness for the in-kernel one-hot gathers/extracts.
 # CRITICAL: the default TPU f32 dot truncates inputs to bf16 (8
@@ -132,7 +145,7 @@ def _level_masks(vs, ve, ptr, colors, uniq):
 class _NarrowRun:
     t0: int  # first transition index (global)
     t1: int  # one past last
-    tbl: np.ndarray  # [nchunks_pad, 8, CHUNK] int32 streamed blocks
+    tbl: np.ndarray  # [nchunks_pad, 2, CHUNK] int32 packed blocks
     w1: np.ndarray  # [nchunks, CHUNK] int8   (traceback only)
     symd: np.ndarray  # [nchunks, CHUNK] int16 (traceback only)
     sbits: np.ndarray  # [nchunks_pad] int32 bit0 in1024 bit1 out1024 b2 first b3 last
@@ -167,12 +180,20 @@ class _WideRun:
     t0: int
     t1: int
     NB: int  # V windows (SWmax // 1024)
-    tbl: np.ndarray  # [nchunks_pad, 8, CHUNK] int32 (as narrow)
+    tbl: np.ndarray  # [nchunks_pad, 2, CHUNK] int32 packed (as narrow)
     w1: np.ndarray  # [nchunks_pad, CHUNK] int8
     symd: np.ndarray  # [nchunks_pad, CHUNK] int16
     wbits: np.ndarray  # [nchunks_pad] int32: 1 window-first, 2 commit
     wwin: np.ndarray  # [nchunks_pad] int32 dst window index
-    wext: np.ndarray  # [nchunks_pad] int32 dst extent in windows
+    wpmask: np.ndarray  # [nchunks_pad] int32 dst-window PRESENCE bits:
+    # bit b set iff the chunk's transition has >= 1 kept pair landing in
+    # window b. At commit every V window is rewritten: present windows
+    # take the (reach-masked) Vnext value, absent windows — both holes
+    # inside the extent and windows past it — are reset to NEG. A
+    # round-4 advisor repro showed the previous extent-only commit left
+    # stale older-level values in windows >= ext (gathered as live
+    # states by later transitions) and promoted raw uninitialized Vnext
+    # scratch for hole windows.
     wbase: np.ndarray  # [nchunks_pad] int32 slot base within transition
     wgmask: np.ndarray  # [nchunks_pad] int32 src-window presence bits
     wrow: np.ndarray  # [nchunks_pad] int32 bp output row
@@ -377,10 +398,8 @@ def _plan_narrow_run(t0, t1, widths, pair_tables, R):
     npad = _ladder_fit(nreal, _RUN_LADDER)
     # pass 2: preallocate flat blocks and fill in place (np.stack of
     # thousands of small arrays dominated planning time before)
-    tbl = np.zeros((npad, 8, CHUNK), np.int32)
+    tbl = np.zeros((npad, _TBL_ROWS, CHUNK), np.int32)
     tbl[:, 1] = PAD_SC
-    tbl[:, 3] = -1
-    tbl[:, 4:8] = -1
     # padded to npad rows so traceback arg shapes are laddered too
     w1a = np.zeros((npad, CHUNK), np.int8)
     syma = np.zeros((npad, CHUNK), np.int16)
@@ -409,18 +428,13 @@ def _plan_narrow_run(t0, t1, widths, pair_tables, R):
             buf[:n] = a
             view[:, row] = buf.reshape(nch, CHUNK)
 
-        fill(0, gidx, 0)
-        fill(1, score, PAD_SC)
-        fill(2, ws, 0)
-        fill(3, dstl, -1)
-        # rows 4..7: last chunk-lane per OUT lane; ascending fancy-index
-        # assignment keeps the last occurrence per (chunk, dst lane)
-        le = np.full((nch, 1024), -1, np.int32)
-        pos = np.arange(n, dtype=np.int64)
-        le[pos // CHUNK, dstl.astype(np.int64)] = (pos % CHUNK).astype(
-            np.int32
+        packed = (
+            (gidx.astype(np.int32) << 13)
+            | ((dstl.astype(np.int32) + 1) << 2)
+            | ws.astype(np.int32)
         )
-        view[:, 4:8] = le.reshape(nch, 4, CHUNK)
+        fill(0, packed, 0)  # pad lanes: gidx 0, dst -1, wsum 0
+        fill(1, score, PAD_SC)
         wbuf = np.zeros(padlen, np.int8)
         wbuf[:n] = w1
         w1a[rows] = wbuf.reshape(nch, CHUNK)
@@ -502,7 +516,7 @@ def _plan_wide_run(t0, t1, widths, pair_tables, R):
     # pass 2: chunk each transition, splitting at 1024-lane dst-window
     # boundaries (dst-sorted pairs => windows ascend monotonically)
     chunks = []  # (trans_idx, lane_slice, win)
-    per_tr = []  # (nch, ext, rowbase)
+    per_tr = []  # (nch, ext, rowbase, pmask)
     rowbase = 0
     for ti, (gidx, ws, score, dstl, w1, symd, Bin, Bout) in enumerate(tabs):
         win = dstl >> 10
@@ -516,21 +530,22 @@ def _plan_wide_run(t0, t1, widths, pair_tables, R):
                 local.append((c0, min(c0 + CHUNK, int(b1)), int(win[c0])))
                 nch += 1
         ext = (int(dstl.max(initial=0)) >> 10) + 1
-        per_tr.append((local, ext, rowbase))
+        pmask = int(
+            np.bitwise_or.reduce(np.left_shift(1, np.unique(win)), initial=0)
+        ) if len(win) else 0
+        per_tr.append((local, ext, rowbase, pmask))
         rowbase += ext
     nrows = rowbase
 
-    nreal = sum(len(local) for local, _, _ in per_tr)
+    nreal = sum(len(local) for local, _, _, _ in per_tr)
     npad = _ladder_fit(nreal, _RUN_LADDER)
-    tbl = np.zeros((npad, 8, CHUNK), np.int32)
+    tbl = np.zeros((npad, _TBL_ROWS, CHUNK), np.int32)
     tbl[:, 1] = PAD_SC
-    tbl[:, 3] = -1
-    tbl[:, 4:8] = -1
     w1a = np.zeros((npad, CHUNK), np.int8)
     syma = np.zeros((npad, CHUNK), np.int16)
     wbits = np.zeros(npad, np.int32)
     wwin = np.zeros(npad, np.int32)
-    wext = np.ones(npad, np.int32)
+    wpmask = np.zeros(npad, np.int32)
     wbase = np.zeros(npad, np.int32)
     wgmask = np.zeros(npad, np.int32)
     wrow = np.zeros(npad, np.int32)
@@ -543,7 +558,7 @@ def _plan_wide_run(t0, t1, widths, pair_tables, R):
 
     crow = 0
     for ti, (gidx, ws, score, dstl, w1, symd, Bin, Bout) in enumerate(tabs):
-        local, ext, rb = per_tr[ti]
+        local, ext, rb, pmask = per_tr[ti]
         tb_chunkbase[ti] = crow
         tb_bprow[ti] = rb
         tb_bin[ti] = Bin
@@ -552,14 +567,13 @@ def _plan_wide_run(t0, t1, widths, pair_tables, R):
         for ci, (c0, c1, win) in enumerate(local):
             n = c1 - c0
             row = crow + ci
-            tbl[row, 0, :n] = gidx[c0:c1]
+            rel = (dstl[c0:c1] - win * 1024).astype(np.int32)
+            tbl[row, 0, :n] = (
+                (gidx[c0:c1].astype(np.int32) << 13)
+                | ((rel + 1) << 2)
+                | ws[c0:c1].astype(np.int32)
+            )
             tbl[row, 1, :n] = score[c0:c1]
-            tbl[row, 2, :n] = ws[c0:c1]
-            rel = dstl[c0:c1] - win * 1024
-            tbl[row, 3, :n] = rel
-            le = np.full(1024, -1, np.int32)
-            le[rel] = np.arange(n, dtype=np.int32)  # ascending: last wins
-            tbl[row, 4:8] = le.reshape(4, CHUNK)
             w1a[row, :n] = w1[c0:c1]
             syma[row, :n] = symd[c0:c1]
             bits = 0
@@ -570,7 +584,7 @@ def _plan_wide_run(t0, t1, widths, pair_tables, R):
                 bits |= 2  # commit Vnext -> Vnow
             wbits[row] = bits | 4  # bit 4: real (ladder pads skip)
             wwin[row] = win
-            wext[row] = ext
+            wpmask[row] = pmask
             wbase[row] = ci * CHUNK
             wgmask[row] = int(
                 np.bitwise_or.reduce(
@@ -583,7 +597,7 @@ def _plan_wide_run(t0, t1, widths, pair_tables, R):
     if nreal:
         wrow[nreal:] = wrow[nreal - 1]
         wwin[nreal:] = wwin[nreal - 1]
-        wext[nreal:] = wext[nreal - 1]
+        wpmask[nreal:] = wpmask[nreal - 1]
     return _WideRun(
         t0=t0,
         t1=t1,
@@ -593,7 +607,7 @@ def _plan_wide_run(t0, t1, widths, pair_tables, R):
         symd=syma,
         wbits=wbits,
         wwin=wwin,
-        wext=wext,
+        wpmask=wpmask,
         wbase=wbase,
         wgmask=wgmask,
         wrow=wrow,
@@ -649,11 +663,12 @@ def _narrow_kernel(R1: int, T_static: int):
 
         @pl.when(real)
         def _():
-            tbl = tbl_ref[0]  # [8, CHUNK]
-            gidx = tbl[0]
+            tbl = tbl_ref[0]  # [2, CHUNK] packed (see _TBL_ROWS)
+            packed = tbl[0]
             sc = tbl[1]
-            wsum = tbl[2]
-            dst = tbl[3]
+            wsum = packed & 3
+            dst = ((packed >> 2) & 2047) - 1  # -1 on padded lanes
+            gidx = packed >> 13
 
             # ---- gather: cand[r, p] = V[r, gidx[p]] — ONE default-
             # precision matmul over three 8-bit planes of (V - NEG)
@@ -721,23 +736,31 @@ def _narrow_kernel(R1: int, T_static: int):
             )
 
             base = sbase_ref[t]
+            # extract one-hot from dst alone: pairs are dst-sorted within
+            # a chunk, so the winning lane per out lane is the LAST with
+            # that dst — the lane whose successor differs (roll is
+            # circular; lane CHUNK-1 is forced to be a boundary). Padded
+            # lanes (dst -1) never match an out lane in [0, OUT).
+            lastocc = (lane == CHUNK - 1) | (segb != pltpu.roll(segb, CHUNK - 1, 1))
+            dstm = jnp.where(lastocc, segb, -2)  # [1, CHUNK]
 
             def extract_and_acc(OUT):
-                # lastE lives in tbl rows 4..7 (256 out lanes per row); build
-                # E block-wise over the lane axis (Mosaic cannot reshape a
-                # [4, 256] vector into [1024])
-                rowsE = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-                E = jnp.concatenate(
+                # transposed one-hot Et[o, i] = (o == dst[i] - b*CHUNK),
+                # built per 256-out-lane block (Mosaic cannot reshape a
+                # [4, 256] vector into [1024]); contraction runs over
+                # the chunk-lane axis of both operands
+                rowsO = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+                Et = jnp.concatenate(
                     [
-                        (rowsE == tbl[4 + b][None, :]).astype(jnp.float32)
+                        (rowsO == (dstm - b * CHUNK)).astype(jnp.float32)
                         for b in range(OUT // CHUNK)
                     ],
-                    axis=1,
-                )
+                    axis=0,
+                )  # [OUT, CHUNK]
                 ex = jax.lax.dot_general(
                     stacked.astype(jnp.float32),
-                    E,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    Et,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=_DOT_PRECISION,
                 )
@@ -797,7 +820,7 @@ def _narrow_call(seg: _NarrowRun, R1: int, interpret: bool = False):
         num_scalar_prefetch=4,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, 8, CHUNK), lambda t, *s: (t, 0, 0)),
+            pl.BlockSpec((1, _TBL_ROWS, CHUNK), lambda t, *s: (t, 0, 0)),
             pl.BlockSpec((R1P, 1024), lambda t, *s: (0, 0)),
         ],
         out_specs=(
@@ -851,7 +874,7 @@ def _wide_kernel(NB: int, T_static: int):
     def kern(
         wbits_ref,
         wwin_ref,
-        wext_ref,
+        wpmask_ref,
         wbase_ref,
         wgmask_ref,
         wrow_ref,
@@ -867,7 +890,7 @@ def _wide_kernel(NB: int, T_static: int):
         T = T_static
         bits = wbits_ref[t]
         win = wwin_ref[t]
-        ext = wext_ref[t]
+        pmask = wpmask_ref[t]
         base = wbase_ref[t]
         gmask = wgmask_ref[t]
         win_first = (bits & 1) != 0
@@ -884,11 +907,12 @@ def _wide_kernel(NB: int, T_static: int):
 
         @pl.when(real)
         def _():
-            tbl = tbl_ref[0]  # [8, CHUNK]
-            gidx = tbl[0]
+            tbl = tbl_ref[0]  # [2, CHUNK] packed (see _TBL_ROWS)
+            packed = tbl[0]
             sc = tbl[1]
-            wsum = tbl[2]
-            dst = tbl[3]  # window-relative dst lane (-1 pad)
+            wsum = packed & 3
+            dst = ((packed >> 2) & 2047) - 1  # window-relative (-1 pad)
+            gidx = packed >> 13
 
             # ---- gather: block-masked one-hot matmuls over src windows,
             # accumulating three 8-bit planes of (V - NEG) (bf16-exact) ----
@@ -896,7 +920,7 @@ def _wide_kernel(NB: int, T_static: int):
             rows = jax.lax.broadcasted_iota(jnp.int32, (1024, CHUNK), 0)
             for b in range(NB):
 
-                @pl.when((gmask >> b) & 1 != 0)
+                @pl.when(((gmask >> b) & 1) != 0)
                 def _(b=b):
                     G = (rows == (gidx[None, :] - b * 1024)).astype(jnp.float32)
                     u = Vnow[:, b * 1024 : (b + 1) * 1024] - NEG
@@ -944,18 +968,22 @@ def _wide_kernel(NB: int, T_static: int):
             stacked = jnp.concatenate(
                 [voff & 255, (voff >> 8) & 255, voff >> 16, slot + 1], axis=0
             )
-            rowsE = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-            E = jnp.concatenate(
+            # in-kernel extract one-hot (see narrow kernel): last
+            # occurrence per dst within the chunk, transposed blocks
+            lastocc = (lane == CHUNK - 1) | (segb != pltpu.roll(segb, CHUNK - 1, 1))
+            dstm = jnp.where(lastocc, segb, -2)
+            rowsO = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+            Et = jnp.concatenate(
                 [
-                    (rowsE == tbl[4 + b][None, :]).astype(jnp.float32)
+                    (rowsO == (dstm - b * CHUNK)).astype(jnp.float32)
                     for b in range(4)
                 ],
-                axis=1,
-            )
+                axis=0,
+            )  # [1024, CHUNK]
             ex = jax.lax.dot_general(
                 stacked.astype(jnp.float32),
-                E,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                Et,
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_DOT_PRECISION,
             )
@@ -986,17 +1014,23 @@ def _wide_kernel(NB: int, T_static: int):
                     )
                     bp_ref[0] = jnp.where(take, exs, bpold)
 
-            # ---- end of transition: promote Vnext to Vnow ----
+            # ---- end of transition: promote Vnext to Vnow. EVERY
+            # window is rewritten: absent windows (pmask bit clear) —
+            # holes inside the extent and windows past it — become NEG,
+            # so no stale older-level value and no uninitialized Vnext
+            # scratch ever survives into the next transition's gather
+            # (round-4 advisor finding; tests
+            # test_pallas_wide_commit_{shrinking_extent_stale_window,
+            # hole_window}). Absent windows READ undefined Vnext
+            # scratch, but the value is discarded by the select. ----
             @pl.when(commit)
             def _():
                 for b in range(NB):
-
-                    @pl.when(b < ext)
-                    def _(b=b):
-                        nv = Vnext[:, b * 1024 : (b + 1) * 1024]
-                        Vnow[:, b * 1024 : (b + 1) * 1024] = jnp.where(
-                            nv > REACH_T, nv, jnp.int32(NEG)
-                        )
+                    present = ((pmask >> b) & 1) != 0
+                    nv = Vnext[:, b * 1024 : (b + 1) * 1024]
+                    Vnow[:, b * 1024 : (b + 1) * 1024] = jnp.where(
+                        present & (nv > REACH_T), nv, jnp.int32(NEG)
+                    )
 
         @pl.when(t == T - 1)
         def _():
@@ -1018,7 +1052,7 @@ def _wide_call(seg: _WideRun, R1: int, interpret: bool = False):
         num_scalar_prefetch=6,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, 8, CHUNK), lambda t, *s: (t, 0, 0)),
+            pl.BlockSpec((1, _TBL_ROWS, CHUNK), lambda t, *s: (t, 0, 0)),
             pl.BlockSpec((R1P, 1024), lambda t, *s: (0, 0)),
         ],
         out_specs=(
@@ -1035,7 +1069,7 @@ def _wide_call(seg: _WideRun, R1: int, interpret: bool = False):
     )
     nrowsp = _ladder_fit(seg.nrows, _BP_LADDER)
 
-    def run(wbits, wwin, wext, wbase, wgmask, wrow, tbl, vinit):
+    def run(wbits, wwin, wpmask, wbase, wgmask, wrow, tbl, vinit):
         return pl.pallas_call(
             kern,
             grid_spec=grid_spec,
@@ -1044,7 +1078,7 @@ def _wide_call(seg: _WideRun, R1: int, interpret: bool = False):
                 jax.ShapeDtypeStruct((R1P, 1024), jnp.int32),
             ),
             interpret=interpret,
-        )(wbits, wwin, wext, wbase, wgmask, wrow, tbl, vinit)
+        )(wbits, wwin, wpmask, wbase, wgmask, wrow, tbl, vinit)
 
     return run
 
@@ -1078,8 +1112,11 @@ def _narrow_trace(bp256, bp1024, tbl, w1t, syt, xs, carry):
         slot = jnp.where(out1024, s1024, s256)
         crow = chunkbase + slot // CHUNK
         lanec = slot % CHUNK
-        g = jax.lax.dynamic_slice(tbl, (crow, 0, lanec), (1, 3, 1))[0, :, 0]
-        gidx, _, wsum = g[0], g[1], g[2]
+        packed = jax.lax.dynamic_slice(tbl, (crow, 0, lanec), (1, 1, 1))[
+            0, 0, 0
+        ]
+        gidx = packed >> 13
+        wsum = packed & 3
         w1 = jax.lax.dynamic_slice(w1t, (crow, lanec), (1, 1))[0, 0].astype(
             jnp.int32
         )
@@ -1185,7 +1222,7 @@ class PairDiploidDP:
                             for a in (
                                 seg.wbits,
                                 seg.wwin,
-                                seg.wext,
+                                seg.wpmask,
                                 seg.wbase,
                                 seg.wgmask,
                                 seg.wrow,

@@ -126,6 +126,94 @@ def test_pallas_ladder_extends_beyond_fixed_rungs():
     _check(g, chb, 2)
 
 
+def _hand_graph(widths, edges, colors=None):
+    """ExpandedGraph with explicit per-transition edge lists.
+
+    edges[l] = list of (i, j, w): level-l vertex i -> level-(l+1) vertex
+    j with weight w. colors = {vertex: [colour,...]}.
+    """
+    from dipgenie_tpu.graph.expanded import ExpandedGraph
+
+    starts = np.cumsum([0] + widths)
+    n = int(starts[-1])
+    g = ExpandedGraph(
+        adj_list=[[] for _ in range(n)],
+        color=[[] for _ in range(n)],
+        original_vertex=[[v] for v in range(n)],
+        haplotype=[0] * n,
+        level=[l for l, w in enumerate(widths) for _ in range(w)],
+        vertices_in_level=[
+            list(range(starts[l], starts[l + 1])) for l in range(len(widths))
+        ],
+    )
+    for l, es in enumerate(edges):
+        for i, j, w in es:
+            g.adj_list[starts[l] + i].append((int(starts[l + 1] + j), w))
+    for v, cs in (colors or {}).items():
+        g.color[v] = sorted(cs)
+    return g
+
+
+def test_pallas_wide_commit_shrinking_extent_stale_window():
+    """Wide-run regression (round-4 advisor, diploid_pallas commit):
+    when a transition's dst extent shrinks, V windows >= ext must be
+    reset to NEG at commit — a stale older-level value left in a high
+    window is otherwise gathered as a live state by a later transition.
+
+    Construction: widths [1,40,40,40,1] (flat 40*40=1600 pair lanes = 2
+    windows). t0 reaches all L1 pairs (ext 2). t1 only connects vertices
+    0..24 (ext 1, window 0) — L2 pairs with i>=26 are unreachable, but
+    the buggy commit left window 1 holding t0's (reachable) values at
+    the same lanes. t2 has edges from ALL L2 vertices, so its gather
+    reads lane 30*40+30 in window 1; a hom colour shared by L2[30] and
+    L3[30] then scores 1 on that phantom path (exact answer: 0)."""
+    W = 40
+    starts = np.cumsum([0, 1, W, W, W])
+    edges = [
+        [(0, i, 0) for i in range(W)],
+        [(i, i, 0) for i in range(25)],
+        [(i, i, 0) for i in range(W)],
+        [(i, 0, 0) for i in range(W)],
+    ]
+    colors = {int(starts[2] + 30): [0], int(starts[3] + 30): [0]}
+    g = _hand_graph([1, W, W, W, 1], edges, colors)
+    chb = [True]  # hom colour: scores via intersection
+    plan = plan_pairs(*csr_arrays(g, chb), 0)
+    assert any(isinstance(s, _WideRun) for s in plan.segments)
+    _check(g, chb, 0)
+
+
+def test_pallas_wide_commit_hole_window():
+    """Wide-run dst-window hole: a transition whose kept pairs touch
+    windows {0,2,3} but not 1 (within ext=4) must commit NEG for the
+    untouched hole window, never raw Vnext scratch (undefined on real
+    TPU; interpret mode masks this by zero-initializing VMEM)."""
+    W = 56  # flat pair lanes up to 55*56+55 = 3135 -> 4 windows
+    lo = list(range(18))  # pairs over lo*lo  -> window 0
+    hi = list(range(37, W))  # pairs over hi*hi -> windows 2,3
+    edges = [
+        [(0, i, 0) for i in range(W)],
+        [(i, i, 0) for i in lo + hi],
+        [(i, 0, 0) for i in range(W)],
+    ]
+    g = _hand_graph([1, W, W, 1], edges, {1 + 5: [0], 1 + W + 5: [0]})
+    chb = [True]
+    plan = plan_pairs(*csr_arrays(g, chb), 0)
+    wides = [s for s in plan.segments if isinstance(s, _WideRun)]
+    assert wides
+    holes = 0
+    for s in wides:
+        for row in range(len(s.wbits)):
+            if not (int(s.wbits[row]) & 4) or not (int(s.wbits[row]) & 2):
+                continue  # only real commit rows carry the mask we check
+            pmask = int(s.wpmask[row])
+            ext = pmask.bit_length()
+            if pmask != (1 << ext) - 1:
+                holes += 1
+    assert holes, "fixture must produce a dst-window hole"
+    _check(g, chb, 0)
+
+
 def test_pallas_value_bound_guard():
     """Planning rejects instances whose packed int32 key would overflow."""
     rng = np.random.default_rng(3)
