@@ -279,7 +279,26 @@ def plan_pairs(
         raise ValueError("pallas backend requires R <= 31")
 
     # ---- per-transition raw pair tables ----
-    def pair_tables(l):
+    # Producer selection: the native OpenMP planner (dg_pair_tables,
+    # native/dgcore.cpp) computes every transition's sorted/scored pair
+    # arrays in one call (~20x faster than the numpy loop, which pays
+    # ~350 us of dispatch overhead per transition — 40+ s on MHC);
+    # the numpy closure below remains the reference implementation and
+    # the fallback, and tests assert array-exact agreement.
+    _nat = None
+    if _os.environ.get("DIPGENIE_NO_NATIVE_PLANNER") != "1":
+        try:
+            from .. import native as _native
+
+            if _native.available():
+                _nat = _native.pair_tables_all(
+                    level_ptr, adj_ptr, adj_v, adj_w,
+                    hom_ptr, hom_colors, het_ptr, het_colors, R,
+                )
+        except Exception:
+            _nat = None
+
+    def pair_tables_numpy(l):
         """Sorted pair arrays for transition l -> l+1 (host layouts)."""
         b0, b1, b2 = int(level_ptr[l]), int(level_ptr[l + 1]), int(level_ptr[l + 2])
         k, k2 = b1 - b0, b2 - b1
@@ -327,9 +346,27 @@ def plan_pairs(
         w1 = w[e1i]
         return k, k2, s1, s2, d1, d2, ws, score, symd, w1
 
+    def pair_tables_native(l):
+        """Slice of the one-call native planner output for transition l."""
+        off, s1a, s2a, d1a, d2a, syma, wsa, w1a, sca, _smax = _nat
+        sl = slice(int(off[l]), int(off[l + 1]))
+        k = int(level_ptr[l + 1] - level_ptr[l])
+        k2 = int(level_ptr[l + 2] - level_ptr[l + 1])
+        return (
+            k, k2,
+            s1a[sl].astype(np.int64), s2a[sl].astype(np.int64),
+            d1a[sl].astype(np.int64), d2a[sl].astype(np.int64),
+            wsa[sl].astype(np.int64), sca[sl].astype(np.int64),
+            syma[sl].astype(np.int64), w1a[sl].astype(np.int64),
+        )
+
+    pair_tables = pair_tables_native if _nat is not None else pair_tables_numpy
+
     # kept pair count per transition (pairs with wsum <= R), computed
     # from the edge-weight histogram without materializing E^2 arrays
     def kept_pairs(l):
+        if _nat is not None:
+            return int(_nat[0][l + 1] - _nat[0][l])
         b0, b1 = int(level_ptr[l]), int(level_ptr[l + 1])
         w = np.minimum(adj_w[int(adj_ptr[b0]) : int(adj_ptr[b1])], R + 1)
         c = np.bincount(w, minlength=R + 2).astype(np.int64)
@@ -529,6 +566,13 @@ def _plan_wide_run(t0, t1, widths, pair_tables, R):
             for c0 in range(int(b0), int(b1), CHUNK):
                 local.append((c0, min(c0 + CHUNK, int(b1)), int(win[c0])))
                 nch += 1
+        if not local:
+            # a transition with ZERO kept pairs (every pair's wsum > R)
+            # still needs one all-pad chunk so its commit fires and
+            # resets V to NEG — otherwise the previous level's values
+            # would leak through as phantom reachable states
+            local = [(0, 0, 0)]
+            nch = 1
         ext = (int(dstl.max(initial=0)) >> 10) + 1
         pmask = int(
             np.bitwise_or.reduce(np.left_shift(1, np.unique(win)), initial=0)
@@ -588,7 +632,8 @@ def _plan_wide_run(t0, t1, widths, pair_tables, R):
             wbase[row] = ci * CHUNK
             wgmask[row] = int(
                 np.bitwise_or.reduce(
-                    np.left_shift(1, np.unique(gidx[c0:c1] >> 10))
+                    np.left_shift(1, np.unique(gidx[c0:c1] >> 10)),
+                    initial=0,
                 )
             )
             wrow[row] = rb + win
@@ -1084,6 +1129,266 @@ def _wide_call(seg: _WideRun, R1: int, interpret: bool = False):
 
 
 # --------------------------------------------------------------------
+# tp-sharded wide path (multi-chip)
+# --------------------------------------------------------------------
+#
+# SURVEY §7.6: "shard the K x K pair tile over devices with halo
+# exchange of level-boundary states". The TPU-native decomposition:
+#
+#   * NARROW runs stay replicated. A narrow level is <= 1024 pair lanes
+#     = ONE [R1P, 1024] VPU tile; splitting it across chips buys < 1
+#     vector op of compute per level while paying an ICI round-trip per
+#     level (~1-2 us latency x ~117k narrow MHC levels would dominate
+#     the whole 0.3 s DP). Every device runs the identical narrow
+#     megakernel — zero communication, bit-identical by construction.
+#   * WIDE transitions (width > 32, up to ~31k pair lanes on MHC, the
+#     only levels with enough parallelism to feed >1 chip) execute one
+#     transition at a time under shard_map: 1024-lane destination
+#     windows are owned round-robin by tp devices (win % n_tp), each
+#     device runs a Pallas step kernel over ITS chunks against a
+#     REPLICATED V (the "halo" is the whole level boundary: the gather
+#     may read any source window), producing a NEG/-1-initialized
+#     partial (Vnext, bp); the merge is a single lax.pmax over tp
+#     (windows are never split across devices, so partials are disjoint
+#     and no cross-device tie-break exists), followed by the
+#     presence-mask commit. XLA lowers the pmax to an ICI all-reduce.
+#
+# ICI cost per wide transition: one all-reduce of [R1P, NB*1024] int32
+# (128 KB x NB <= 31 -> <= 4 MB; typical MHC NB in {2, 5}). On a v5e
+# ring at ~45 GB/s/link, a NB=5 transition's merge moves ~0.6 MB/device
+# ~= 15 us + ~5 us latency; MHC has ~3.6k wide transitions in ~300 runs
+# -> ~70 ms of exchange against ~250 ms of single-chip wide compute.
+# Cross-over is therefore n_tp = 2-4 on MHC-sized graphs; the design
+# targets whole-genome graphs where wide levels dominate. See
+# DESIGN_MULTICHIP.md for the full analysis.
+
+# per-transition chunk-count rungs (distinct compile shapes are
+# (NB, C); wide transitions have 1..~128 chunks per device)
+_STEP_LADDER = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+
+
+def _wide_step_kernel(NB: int, C: int):
+    """One wide TRANSITION on one device's chunk subset: grid over C
+    chunks, explicit NEG/-1 init of the [R1P, NB*1024] partial outputs
+    (no undefined scratch can escape), RMW with strict > per chunk."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(
+        sbits_ref,
+        swin_ref,
+        sbase_ref,
+        sgmask_ref,
+        tbl_ref,
+        vnow_ref,
+        vpart_ref,
+        bppart_ref,
+        candf,
+    ):
+        t = pl.program_id(0)
+        bits = sbits_ref[t]
+        win = swin_ref[t]
+        base = sbase_ref[t]
+        gmask = sgmask_ref[t]
+        real = (bits & 4) != 0
+
+        @pl.when(t == 0)
+        def _():
+            for b in range(NB):
+                sl = slice(b * 1024, (b + 1) * 1024)
+                vpart_ref[:, sl] = jnp.full((R1P, 1024), NEG, jnp.int32)
+                bppart_ref[:, sl] = jnp.full((R1P, 1024), -1, jnp.int32)
+
+        @pl.when(real)
+        def _():
+            tbl = tbl_ref[0]  # [2, CHUNK] packed
+            packed = tbl[0]
+            sc = tbl[1]
+            wsum = packed & 3
+            dst = ((packed >> 2) & 2047) - 1
+            gidx = packed >> 13
+
+            candf[...] = jnp.zeros((3 * R1P, CHUNK), jnp.float32)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (1024, CHUNK), 0)
+            for b in range(NB):
+
+                @pl.when(((gmask >> b) & 1) != 0)
+                def _(b=b):
+                    G = (rows == (gidx[None, :] - b * 1024)).astype(
+                        jnp.float32
+                    )
+                    u = vnow_ref[:, b * 1024 : (b + 1) * 1024] - NEG
+                    st = jnp.concatenate(
+                        [u & 255, (u >> 8) & 255, u >> 16], axis=0
+                    ).astype(jnp.float32)
+                    candf[...] += jax.lax.dot_general(
+                        st,
+                        G,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_DOT_PRECISION,
+                    )
+
+            cf = candf[...]
+            g0 = (
+                cf[:R1P] + cf[R1P : 2 * R1P] * 256.0 + cf[2 * R1P :] * 65536.0
+            ).astype(jnp.int32) + NEG
+            ri = jax.lax.broadcasted_iota(jnp.int32, (R1P, CHUNK), 0)
+            g1 = jnp.where(ri >= 1, pltpu.roll(g0, 1, 0), NEG)
+            g2 = jnp.where(ri >= 2, pltpu.roll(g0, 2, 0), NEG)
+            wb = wsum[None, :]
+            c = jnp.where(wb == 0, g0, jnp.where(wb == 1, g1, g2))
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            slotc = (CHUNK - 1) - lane
+            kv = jnp.where(
+                c < REACH_T,
+                jnp.int32(INVALID),
+                (c + sc[None, :]) * CHUNK + slotc,
+            )
+            segb = dst[None, :]
+            s = 1
+            while s < CHUNK:
+                conn = (lane >= s) & (segb == pltpu.roll(segb, s, 1))
+                m = jnp.broadcast_to(conn, (R1P, CHUNK))
+                sv = pltpu.roll(kv, s, 1)
+                kv = jnp.where(m & (sv > kv), sv, kv)
+                s *= 2
+
+            vfin = jax.lax.shift_right_arithmetic(kv, 8)
+            slot = (CHUNK - 1) - jnp.bitwise_and(kv, CHUNK - 1)
+            OFF = jnp.int32(1 << 22)
+            voff = vfin + OFF
+            stacked = jnp.concatenate(
+                [voff & 255, (voff >> 8) & 255, voff >> 16, slot + 1], axis=0
+            )
+            lastocc = (lane == CHUNK - 1) | (
+                segb != pltpu.roll(segb, CHUNK - 1, 1)
+            )
+            dstm = jnp.where(lastocc, segb, -2)
+            rowsO = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+            Et = jnp.concatenate(
+                [
+                    (rowsO == (dstm - b * CHUNK)).astype(jnp.float32)
+                    for b in range(4)
+                ],
+                axis=0,
+            )
+            ex = jax.lax.dot_general(
+                stacked.astype(jnp.float32),
+                Et,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_DOT_PRECISION,
+            )
+            exr = (
+                ex[:R1P]
+                + ex[R1P : 2 * R1P] * 256.0
+                + ex[2 * R1P : 3 * R1P] * 65536.0
+            ).astype(jnp.int32)
+            exv = jnp.where(exr > 0, exr - OFF, jnp.int32(INVALID))
+            exs = ex[3 * R1P :].astype(jnp.int32) - 1 + base
+
+            # RMW into the owned destination window of the partials
+            # (chunks of one window are consecutive in plan order on
+            # their owner device, so strict > keeps the earlier chunk
+            # on ties = the plan's preference order)
+            for b in range(NB):
+
+                @pl.when(win == b)
+                def _(b=b):
+                    sl = slice(b * 1024, (b + 1) * 1024)
+                    old = vpart_ref[:, sl]
+                    bpold = bppart_ref[:, sl]
+                    take = exv > old
+                    vpart_ref[:, sl] = jnp.where(take, exv, old)
+                    bppart_ref[:, sl] = jnp.where(take, exs, bpold)
+
+    return kern
+
+
+def _wide_step_call(NB: int, C: int, interpret: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kern = _wide_step_kernel(NB, C)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((1, _TBL_ROWS, CHUNK), lambda t, *s: (t, 0, 0)),
+            pl.BlockSpec((R1P, NB * 1024), lambda t, *s: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((R1P, NB * 1024), lambda t, *s: (0, 0)),
+            pl.BlockSpec((R1P, NB * 1024), lambda t, *s: (0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3 * R1P, CHUNK), jnp.float32),
+        ],
+    )
+
+    def run(sbits, swin, sbase, sgmask, tbl, vnow):
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((R1P, NB * 1024), jnp.int32),
+                jax.ShapeDtypeStruct((R1P, NB * 1024), jnp.int32),
+            ),
+            interpret=interpret,
+        )(sbits, swin, sbase, sgmask, tbl, vnow)
+
+    return run
+
+
+def _shard_wide_tables(seg: _WideRun, n_tp: int):
+    """Partition a _WideRun's chunk rows into per-(transition, device)
+    padded tables for the sharded per-transition step. Windows are
+    owned round-robin (win % n_tp); a window's chunks all land on one
+    device in plan order, preserving the earlier-chunk tie preference.
+    Returns a list over transitions of
+    (sbits, swin, sbase, sgmask, tbl, present) with leading axis n_tp.
+    """
+    T = seg.t1 - seg.t0
+    NB = seg.NB
+    nreal = int(np.count_nonzero(seg.wbits & 4))
+    bounds = [int(x) for x in seg.tb_chunkbase] + [nreal]
+    out = []
+    for ti in range(T):
+        rows = list(range(bounds[ti], bounds[ti + 1]))
+        perdev: list[list[int]] = [[] for _ in range(n_tp)]
+        for rrow in rows:
+            perdev[int(seg.wwin[rrow]) % n_tp].append(rrow)
+        C = _ladder_fit(max(1, max(len(p) for p in perdev)), _STEP_LADDER)
+        sbits = np.zeros((n_tp, C), np.int32)
+        swin = np.zeros((n_tp, C), np.int32)
+        sbase = np.zeros((n_tp, C), np.int32)
+        sgmask = np.zeros((n_tp, C), np.int32)
+        tbl = np.zeros((n_tp, C, _TBL_ROWS, CHUNK), np.int32)
+        tbl[:, :, 1] = PAD_SC
+        for d, rws in enumerate(perdev):
+            for ci, rrow in enumerate(rws):
+                sbits[d, ci] = 4  # real
+                swin[d, ci] = seg.wwin[rrow]
+                sbase[d, ci] = seg.wbase[rrow]
+                sgmask[d, ci] = seg.wgmask[rrow]
+                tbl[d, ci] = seg.tbl[rrow]
+        pmask = int(seg.wpmask[rows[0]]) if rows else 0
+        present = (
+            ((pmask >> np.arange(NB, dtype=np.int32)) & 1)
+            .repeat(1024)
+            .astype(np.int32)[None, :]
+        )
+        out.append((sbits, swin, sbase, sgmask, tbl, present))
+    return out
+
+
+# --------------------------------------------------------------------
 # traceback scans
 # --------------------------------------------------------------------
 
@@ -1176,23 +1481,48 @@ class PairDiploidDP:
     Same output contract as the other device tiers:
     run() -> (sink_value, sink_s_het, transitions) with transitions a
     list of (level, pi, pj, i2, j2, wu, wv), level ascending 1..L-1.
+
+    mesh: an optional jax.sharding.Mesh with a "tp" axis. When given,
+    wide runs execute per-transition with destination windows sharded
+    over tp (pmax merge over ICI) and narrow runs replicated — see the
+    "tp-sharded wide path" section above. Bit-identical to the
+    single-device path by construction (windows are never split, so no
+    cross-device tie exists).
     """
 
-    def __init__(self, plan: PairPlan, interpret: bool = False):
+    def __init__(self, plan: PairPlan, interpret: bool = False, mesh=None):
         self.plan = plan
         self.R = plan.R
         self.interpret = interpret
+        self.mesh = mesh
+        self.n_tp = int(mesh.shape["tp"]) if mesh is not None else 0
         self._shipped = None
         self._jits = {}
         _enable_compile_cache()
 
     # ---------------- staging ----------------
-    def _ship(self):
+    def _put_rep(self, a):
+        """device_put; replicated over the mesh in sharded mode."""
         import jax
 
+        if self.mesh is None:
+            return jax.device_put(a)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(a, NamedSharding(self.mesh, P()))
+
+    def _put_tp(self, a):
+        """device_put with the leading axis sharded over tp."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(*(("tp",) + (None,) * (a.ndim - 1)))
+        return jax.device_put(a, NamedSharding(self.mesh, spec))
+
+    def _ship(self):
         if self._shipped is not None:
             return self._shipped
-        put = jax.device_put
+        put = self._put_rep
         shipped = []
         for seg in self.plan.segments:
             if isinstance(seg, _NarrowRun):
@@ -1212,6 +1542,21 @@ class PairDiploidDP:
                         ),
                     )
                 )
+            elif self.mesh is not None:
+                dev = []
+                for tab in _shard_wide_tables(seg, self.n_tp):
+                    sbits, swin, sbase, sgmask, tbl, present = tab
+                    dev.append(
+                        (
+                            self._put_tp(sbits),
+                            self._put_tp(swin),
+                            self._put_tp(sbase),
+                            self._put_tp(sgmask),
+                            self._put_tp(tbl),
+                            put(present),
+                        )
+                    )
+                shipped.append(("ws", seg, dev))
             else:
                 shipped.append(
                     (
@@ -1234,6 +1579,23 @@ class PairDiploidDP:
         self._shipped = shipped
         return shipped
 
+    def _wrap_mesh(self, call, n_in, n_out):
+        """In sharded mode, run a single-device pallas call replicated
+        on every mesh device via shard_map (plain jit cannot compile a
+        pallas_call over a multi-device mesh)."""
+        if self.mesh is None:
+            return call
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        return shard_map(
+            call,
+            mesh=self.mesh,
+            in_specs=(P(),) * n_in,
+            out_specs=(P(),) * n_out if n_out > 1 else P(),
+            check_vma=False,
+        )
+
     def _narrow_jit(self, seg):
         import jax
 
@@ -1244,10 +1606,67 @@ class PairDiploidDP:
             _ladder_fit(seg.n1024, _BP_LADDER),
         )
         if key not in self._jits:
-            self._jits[key] = jax.jit(
-                _narrow_call(seg, self.R + 1, self.interpret)
-            )
+            call = _narrow_call(seg, self.R + 1, self.interpret)
+            self._jits[key] = jax.jit(self._wrap_mesh(call, 6, 3))
         return self._jits[key]
+
+    def _sharded_jit(self, NB, C):
+        import jax
+        import jax.numpy as jnp
+
+        key = ("ws", NB, C)
+        if key not in self._jits:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            call = _wide_step_call(NB, C, self.interpret)
+
+            def local(sbits, swin, sbase, sgmask, tbl, present, V):
+                vp, bpp = call(
+                    sbits[0], swin[0], sbase[0], sgmask[0], tbl[0], V
+                )
+                # windows are device-disjoint and partials NEG/-1
+                # initialized, so a max all-reduce reassembles exactly
+                vm = jax.lax.pmax(vp, "tp")
+                bpm = jax.lax.pmax(bpp, "tp")
+                vm = jnp.where(
+                    (present > 0) & (vm > REACH_T), vm, jnp.int32(NEG)
+                )
+                return vm, bpm
+
+            fn = shard_map(
+                local,
+                mesh=self.mesh,
+                in_specs=(
+                    P("tp"), P("tp"), P("tp"), P("tp"), P("tp"), P(), P(),
+                ),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            self._jits[key] = jax.jit(fn)
+        return self._jits[key]
+
+    def _run_wide_sharded(self, seg, dev, V1024, keep_bp: bool):
+        """Execute one wide run per-transition over the tp mesh."""
+        import jax.numpy as jnp
+
+        NB = seg.NB
+        if NB > 1:
+            Vw = jnp.concatenate(
+                [
+                    V1024,
+                    jnp.full((R1P, (NB - 1) * 1024), NEG, jnp.int32),
+                ],
+                axis=1,
+            )
+        else:
+            Vw = V1024
+        bps = []
+        for sbits, swin, sbase, sgmask, tbl, present in dev:
+            fn = self._sharded_jit(NB, int(sbits.shape[1]))
+            Vw, bpm = fn(sbits, swin, sbase, sgmask, tbl, present, Vw)
+            bps.append(bpm if keep_bp else None)
+        return Vw[:, :1024], bps
 
     def _wide_jit(self, seg):
         import jax
@@ -1265,11 +1684,9 @@ class PairDiploidDP:
         return self._jits[key]
 
     def _initial(self):
-        import jax
-
         V0 = np.full((R1P, 1024), NEG, np.int32)
         V0[:, 0] = 0
-        return jax.device_put(V0)
+        return self._put_rep(V0)
 
     # ---------------- forward ----------------
     def _forward(self, keep_bp: bool, keep_v_in: bool = False):
@@ -1288,6 +1705,9 @@ class PairDiploidDP:
                 fn = self._narrow_jit(seg)
                 bp256, bp1024, V = fn(*dev, V)
                 bps.append((bp256, bp1024) if keep_bp else None)
+            elif kind == "ws":
+                V, bplist = self._run_wide_sharded(seg, dev, V, keep_bp)
+                bps.append(bplist if keep_bp else None)
             else:
                 fn = self._wide_jit(seg)
                 bp, V = fn(*dev, V)
@@ -1339,7 +1759,7 @@ class PairDiploidDP:
             self._tb = {}
         if idx in self._tb:
             return self._tb[idx]
-        put = jax.device_put
+        put = self._put_rep
         Treal = seg.t1 - seg.t0
         # both segment kinds share the 6-column trace row layout:
         # chunkbase, bits, bprow, bin, bout, active
@@ -1367,9 +1787,7 @@ class PairDiploidDP:
         import jax
 
         if not hasattr(self, "_bpd"):
-            self._bpd = jax.device_put(
-                np.zeros((1, R1P, CHUNK), np.int16)
-            )
+            self._bpd = self._put_rep(np.zeros((1, R1P, CHUNK), np.int16))
         return self._bpd
 
     # ---------------- full run ----------------
@@ -1395,15 +1813,49 @@ class PairDiploidDP:
         for ri, (kind, seg, dev) in enumerate(reversed(shipped)):
             idx = nseg - 1 - ri
             Treal = seg.t1 - seg.t0
-            xs, w1d, syd = self._ship_tb(idx, kind, seg)
             if kind == "n":
+                xs, w1d, syd = self._ship_tb(idx, kind, seg)
                 fn = self._narrow_jit(seg)
                 bp256, bp1024, _ = fn(*dev, v_ins[idx])
                 carry, recs = self._jits["trace_n"](
                     bp256, bp1024, dev[4], w1d, syd, xs, carry,
                 )
                 del bp256, bp1024
+            elif kind == "ws":
+                # sharded wide runs backtrack on the host: bp values are
+                # fetched one scalar per transition (the per-transition
+                # metadata lives in the host-side plan arrays). One
+                # device sync per wide run to realize the carry.
+                _, bplist = self._run_wide_sharded(
+                    seg, dev, v_ins[idx], keep_bp=True
+                )
+                lane, r, sh = (int(np.asarray(x)) for x in carry)
+                hrecs = np.zeros((Treal, 7), np.int32)
+                for k, ti in enumerate(range(Treal - 1, -1, -1)):
+                    slot = int(np.asarray(bplist[ti][r, lane]))
+                    crow = int(seg.tb_chunkbase[ti]) + slot // CHUNK
+                    lanec = slot % CHUNK
+                    packedv = int(seg.tbl[crow, 0, lanec])
+                    gidx = packedv >> 13
+                    wsum = packedv & 3
+                    w1 = int(seg.w1[crow, lanec])
+                    sy = int(seg.symd[crow, lanec])
+                    binv = int(seg.tb_bin[ti])
+                    bout = int(seg.tb_bout[ti])
+                    hrecs[k] = (
+                        gidx // binv, gidx % binv, lane // bout,
+                        lane % bout, w1, wsum - w1, sy,
+                    )
+                    lane, r, sh = gidx, r - wsum, sh + sy
+                carry = (
+                    jnp.asarray(lane, jnp.int32),
+                    jnp.asarray(r, jnp.int32),
+                    jnp.asarray(sh, jnp.int32),
+                )
+                recs = hrecs
+                del bplist
             else:
+                xs, w1d, syd = self._ship_tb(idx, kind, seg)
                 fn = self._wide_jit(seg)
                 bp, _ = fn(*dev, v_ins[idx])
                 carry, recs = self._jits["trace_n"](

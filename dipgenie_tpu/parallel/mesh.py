@@ -9,10 +9,13 @@ distributed design to port. The TPU-native decomposition:
     haplotype-minimizer table; per-table-slot match counts (the
     spectrum-side reduction of solver.cpp:533-575) merge with a single
     `psum` over the dp axis — collectives ride ICI.
-  * **tp (tensor parallel)** — the diploid pair-DP state V[(R+1), K, K]
-    is sharded over the destination-row axis; each device relaxes its
-    row tile of (i2, j2) states, gathering the (replicated) previous
-    level. XLA inserts the all-gather; the backpointer tile stays local.
+  * **tp (tensor parallel)** — two tiers. The chunked jax tier shards
+    the diploid pair-DP state V[(R+1), K, K] over the destination-row
+    axis (sharded_dp_level_step below). The FLAGSHIP pair-space Pallas
+    tier shards its wide transitions' 1024-lane destination windows
+    over tp with a pmax merge and runs narrow levels replicated — pass
+    mesh= to ops.diploid_pallas.PairDiploidDP; design + ICI cost model
+    in DESIGN_MULTICHIP.md.
 
 Haplotype-expanded graphs are small relative to HBM (the MHC graph's DP
 inputs are ~100 MB), so the graph index is replicated per device and

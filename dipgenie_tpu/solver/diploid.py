@@ -307,7 +307,7 @@ def diploid_dp_solver(
             interp = _jax.default_backend() != "tpu"
             try:
                 sink_val, sink_shet, transitions = PairDiploidDP(
-                    plan, interpret=interp
+                    plan, interpret=interp, mesh=mesh
                 ).run(verbose=progress)
             except Exception as e:  # noqa: BLE001
                 # the pipeline auto-routes every TPU session here, so a

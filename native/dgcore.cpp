@@ -831,6 +831,247 @@ void dg_std_sort3(const int64_t* k1, const int64_t* k2, const int64_t* k3,
 }
 
 // ---------------------------------------------------------------------------
+// Pair-plan tables — the hot half of the device pair-DP planner
+// (ops/diploid_pallas.plan_pairs). For every transition l (levels
+// l -> l+1) of the levelized CSR, produce the kept edge-pair arrays the
+// numpy pair_tables() builds: pairs (e1, e2) of out-edges of level l
+// with w[e1]+w[e2] <= R, sorted by (dstpair, pred_i, pred_j, edge
+// order), with hom/het colour-bitset scores (the counts the reference
+// computes with 4-way sorted merges, src/approximator.cpp:269-311).
+// One call covers ALL transitions with OpenMP over l — the numpy
+// version pays ~350 us of per-transition dispatch overhead, ~40 s on
+// the 120k-level MHC instance. Results in static storage: _run, then
+// sizes via _n, then _fetch into caller buffers.
+// Returns 0 on success, -1 if a transition exceeds the packed sort-key
+// bounds (dstpair >= 2^20 or E >= 2^14 or width >= 256) — such
+// instances exceed the pallas tier's own NB<=31 limit; the caller
+// falls back to the numpy path for its error reporting.
+// ---------------------------------------------------------------------------
+namespace {
+struct PairTabs {
+    std::vector<int64_t> off;       // [L] pair offsets (off[L-1]=total)
+    std::vector<int16_t> s1, s2, d1, d2, symd;
+    std::vector<int8_t> ws, w1;
+    std::vector<int32_t> score;
+    std::vector<int32_t> score_max; // [L-1]
+};
+PairTabs g_pt;
+}  // namespace
+
+int32_t dg_pair_tables_run(
+    int64_t L, const int64_t* level_ptr,
+    const int64_t* adj_ptr, const int32_t* adj_v, const int8_t* adj_w,
+    const int64_t* hom_ptr, const int32_t* hom_colors,
+    const int64_t* het_ptr, const int32_t* het_colors,
+    int32_t R, int32_t n_threads) {
+    g_pt = PairTabs();
+    if (L < 2) { g_pt.off.assign(1, 0); return 0; }
+    const int64_t T = L - 1;
+    const double t_start = dg_wall_now();
+#ifdef _OPENMP
+    if (n_threads > 0) omp_set_num_threads(n_threads);
+#endif
+
+    // pass 1: kept-pair count per transition from the edge-weight
+    // histogram (no E^2 work), plus key-bound guards
+    g_pt.off.assign(T + 1, 0);
+    int32_t bad = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 64)
+#endif
+    for (int64_t l = 0; l < T; l++) {
+        const int64_t b0 = level_ptr[l], b1 = level_ptr[l + 1],
+                      b2 = level_ptr[l + 2];
+        const int64_t e0 = adj_ptr[b0], e1 = adj_ptr[b1];
+        const int64_t E = e1 - e0;
+        const int64_t k = b1 - b0, k2 = b2 - b1;
+        if (E >= (1 << 14) || k >= 256 || k2 >= 256 ||
+            k2 * k2 >= (1 << 20)) {
+#ifdef _OPENMP
+#pragma omp atomic write
+#endif
+            bad = 1;
+            continue;
+        }
+        std::vector<int64_t> cnt((size_t)R + 2, 0);
+        for (int64_t e = e0; e < e1; e++) {
+            int w = adj_w[e];
+            cnt[(size_t)std::min<int>(w, R + 1)]++;
+        }
+        int64_t kept = 0;
+        for (int wa = 0; wa <= R; wa++)
+            for (int wb = 0; wa + wb <= R; wb++)
+                kept += cnt[wa] * cnt[wb];
+        g_pt.off[l + 1] = kept;
+    }
+    if (bad) return -1;
+    for (int64_t l = 0; l < T; l++) g_pt.off[l + 1] += g_pt.off[l];
+    const int64_t total = g_pt.off[T];
+    const bool dbg = getenv("DIPGENIE_PLANNER_DEBUG") != nullptr;
+    const double t_p1 = dg_wall_now();
+    if (dbg) fprintf(stderr,
+                     "[dg_pair_tables] pass1 %.2fs, total=%lld\n",
+                     t_p1 - t_start, (long long)total);
+    g_pt.s1.resize(total);
+    g_pt.s2.resize(total);
+    g_pt.d1.resize(total);
+    g_pt.d2.resize(total);
+    g_pt.symd.resize(total);
+    g_pt.ws.resize(total);
+    g_pt.w1.resize(total);
+    g_pt.score.resize(total);
+    g_pt.score_max.assign(T, 0);
+
+    // pass 2: fill, sort, score
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<uint64_t> keys;
+        std::vector<int32_t> cols;          // local colour universe
+        std::vector<uint64_t> masks;        // per-vertex bitset planes
+        std::vector<int16_t> esrc;
+        std::vector<int64_t> colbuf;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 16)
+#endif
+        for (int64_t l = 0; l < T; l++) {
+            const int64_t b0 = level_ptr[l], b1 = level_ptr[l + 1],
+                          b2 = level_ptr[l + 2];
+            const int64_t e0 = adj_ptr[b0], e1 = adj_ptr[b1];
+            const int64_t E = e1 - e0;
+            const int64_t k2 = b2 - b1;
+            const int64_t base = g_pt.off[l];
+
+            // edge source ids (adjacency order groups edges by source)
+            esrc.assign((size_t)E, 0);
+            {
+                int64_t e = e0;
+                for (int64_t v = b0; v < b1; v++)
+                    for (; e < adj_ptr[v + 1]; e++)
+                        esrc[(size_t)(e - e0)] = (int16_t)(v - b0);
+            }
+
+            // kept pairs as packed sort keys:
+            // dstpair(20) | s1(8) | s2(8) | eo1(14) | eo2(14)
+            keys.clear();
+            for (int64_t a = 0; a < E; a++) {
+                const int wa = adj_w[e0 + a];
+                if (wa > R) continue;
+                const int64_t da = adj_v[e0 + a] - b1;
+                const int64_t sa = esrc[(size_t)a];
+                for (int64_t b = 0; b < E; b++) {
+                    const int wsum = wa + adj_w[e0 + b];
+                    if (wsum > R) continue;
+                    const uint64_t dp =
+                        (uint64_t)(da * k2 + (adj_v[e0 + b] - b1));
+                    keys.push_back((dp << 44) |
+                                   ((uint64_t)sa << 36) |
+                                   ((uint64_t)esrc[(size_t)b] << 28) |
+                                   ((uint64_t)a << 14) | (uint64_t)b);
+                }
+            }
+            std::sort(keys.begin(), keys.end());
+
+            // local colour universe over levels [l, l+2)
+            cols.clear();
+            for (int64_t c = hom_ptr[b0]; c < hom_ptr[b2]; c++)
+                cols.push_back(hom_colors[c]);
+            for (int64_t c = het_ptr[b0]; c < het_ptr[b2]; c++)
+                cols.push_back(het_colors[c]);
+            std::sort(cols.begin(), cols.end());
+            cols.erase(std::unique(cols.begin(), cols.end()), cols.end());
+            const int64_t W = ((int64_t)cols.size() + 63) / 64;
+            const int64_t nv = b2 - b0;
+            // planes: [hom | het] x [vertex] x W words
+            masks.assign((size_t)(2 * nv * std::max<int64_t>(W, 1)), 0);
+            auto set_bits = [&](const int64_t* ptr, const int32_t* vals,
+                               int64_t plane) {
+                for (int64_t v = b0; v < b2; v++) {
+                    uint64_t* m = masks.data() +
+                        (size_t)((plane * nv + (v - b0)) * std::max<int64_t>(W, 1));
+                    for (int64_t c = ptr[v]; c < ptr[v + 1]; c++) {
+                        const int64_t loc = std::lower_bound(
+                            cols.begin(), cols.end(), vals[c]) - cols.begin();
+                        m[loc >> 6] |= 1ULL << (loc & 63);
+                    }
+                }
+            };
+            set_bits(hom_ptr, hom_colors, 0);
+            set_bits(het_ptr, het_colors, 1);
+            const int64_t Wm = std::max<int64_t>(W, 1);
+            auto hom_of = [&](int64_t lv) {  // local vertex id in [0, nv)
+                return masks.data() + (size_t)((0 * nv + lv) * Wm);
+            };
+            auto het_of = [&](int64_t lv) {
+                return masks.data() + (size_t)((1 * nv + lv) * Wm);
+            };
+
+            int32_t smax = 0;
+            for (size_t i = 0; i < keys.size(); i++) {
+                const uint64_t ky = keys[i];
+                const int64_t a = (int64_t)((ky >> 14) & 0x3FFF);
+                const int64_t b = (int64_t)(ky & 0x3FFF);
+                const int64_t sa = esrc[(size_t)a], sb = esrc[(size_t)b];
+                const int64_t da = adj_v[e0 + a] - b1,
+                              db = adj_v[e0 + b] - b1;
+                const uint64_t *h1 = hom_of(sa), *h2 = hom_of(sb);
+                const uint64_t *h3 = hom_of((b1 - b0) + da),
+                               *h4 = hom_of((b1 - b0) + db);
+                const uint64_t *t1 = het_of(sa), *t2 = het_of(sb);
+                const uint64_t *t3 = het_of((b1 - b0) + da),
+                               *t4 = het_of((b1 - b0) + db);
+                int32_t sy = 0, sc = 0;
+                for (int64_t wd = 0; wd < W; wd++) {
+                    sy += __builtin_popcountll((t1[wd] | t2[wd]) ^
+                                               (t3[wd] | t4[wd]));
+                    sc += __builtin_popcountll((h1[wd] | h2[wd]) &
+                                               (h3[wd] | h4[wd]));
+                }
+                sc += sy;
+                const int64_t o = base + (int64_t)i;
+                g_pt.s1[o] = (int16_t)sa;
+                g_pt.s2[o] = (int16_t)sb;
+                g_pt.d1[o] = (int16_t)da;
+                g_pt.d2[o] = (int16_t)db;
+                g_pt.ws[o] = (int8_t)(adj_w[e0 + a] + adj_w[e0 + b]);
+                g_pt.w1[o] = adj_w[e0 + a];
+                g_pt.symd[o] = (int16_t)sy;
+                g_pt.score[o] = sc;
+                if (sc > smax) smax = sc;
+            }
+            g_pt.score_max[l] = smax;
+        }
+    }
+    if (dbg) fprintf(stderr, "[dg_pair_tables] pass2 %.2fs\n",
+                     dg_wall_now() - t_p1);
+    return 0;
+}
+
+int64_t dg_pair_tables_total() { return g_pt.off.empty() ? 0 : g_pt.off.back(); }
+
+// Zero-copy views: numpy wraps these pointers directly. On this class
+// of virtualized host, first-touch page acquisition can cost ~60 us per
+// 4 KB page (ballooned memory), so copying the ~0.5 GB result into
+// fresh Python buffers costs 10-60 s of pure fault handling; aliasing
+// the already-faulted static storage is free. Views are valid until the
+// next dg_pair_tables_run (or dg_pair_tables_release).
+void dg_pair_tables_view(void** out) {
+    out[0] = g_pt.off.data();
+    out[1] = g_pt.s1.data();
+    out[2] = g_pt.s2.data();
+    out[3] = g_pt.d1.data();
+    out[4] = g_pt.d2.data();
+    out[5] = g_pt.symd.data();
+    out[6] = g_pt.ws.data();
+    out[7] = g_pt.w1.data();
+    out[8] = g_pt.score.data();
+    out[9] = g_pt.score_max.data();
+}
+
+void dg_pair_tables_release() { g_pt = PairTabs(); }
+
+// ---------------------------------------------------------------------------
 // Streaming FASTA/FASTQ(.gz) reader — kseq equivalent (reference src/kseq.h,
 // used by read_ip_reads solver.cpp:230-245). Parses the whole file into
 // concatenated name / sequence blobs with offset tables; results live in

@@ -21,37 +21,67 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def slice_csr(arrs, NL: int):
-    """(8 CSR arrays) -> (8 slice arrays, chb bool array)."""
+def slice_csr(arrs, NL: int, l0: int = 0):
+    """(8 CSR arrays) -> (8 slice arrays, chb bool array).
+
+    Slices levels [l0, l0+NL). With l0 > 0 a synthetic width-1 source
+    level is prepended, reaching every level-l0 vertex via a 0-weight
+    edge (mirroring the synthetic sink appended at the far end), so
+    mid-graph regions — e.g. the wide-level band starting at MHC level
+    64 — can be extracted as standalone DP instances.
+    """
     (level_ptr, adj_ptr, adj_v, adj_w,
      hom_ptr, hom_colors, het_ptr, het_colors) = [np.asarray(a) for a in arrs]
-    V0 = int(level_ptr[NL])          # vertices in levels 0..NL-1
-    lp = np.concatenate([level_ptr[: NL + 1], [V0 + 1]]).astype(np.int64)
+    v_lo = int(level_ptr[l0])        # first vertex of level l0
+    V0 = int(level_ptr[l0 + NL]) - v_lo  # vertices in the sliced levels
+    src_w = 1 if l0 > 0 else 0       # synthetic source vertex count
+    lp = np.concatenate([
+        [0],
+        *([[src_w]] if src_w else []),
+        level_ptr[l0 + 1 : l0 + NL + 1] - v_lo + src_w,
+        [V0 + src_w + 1],
+    ]).astype(np.int64)
 
-    b_last = int(level_ptr[NL - 1])  # first vertex of level NL-1
-    # adjacency: keep for levels 0..NL-2, replace level NL-1 with sink edges
-    keep_e = int(adj_ptr[b_last])
+    b_last = int(level_ptr[l0 + NL - 1]) - v_lo  # first vtx of last level
+    # adjacency: synthetic source -> every level-l0 vertex (w=0), then
+    # kept in-slice edges for levels l0..l0+NL-2, then sink edges
+    w0 = int(level_ptr[l0 + 1]) - v_lo           # width of level l0
+    e_lo = int(adj_ptr[v_lo])
+    keep_e = int(adj_ptr[v_lo + b_last]) - e_lo
     new_deg = np.concatenate([
-        np.diff(adj_ptr[: b_last + 1]),
+        *([np.full(src_w, w0, np.int64)] if src_w else []),
+        np.diff(adj_ptr[v_lo : v_lo + b_last + 1]),
         np.full(V0 - b_last, 1, np.int64),   # one sink edge each
         [0],                                  # sink itself
     ])
-    ap = np.zeros(V0 + 2, np.int64)
+    ap = np.zeros(V0 + src_w + 2, np.int64)
     np.cumsum(new_deg, out=ap[1:])
     av = np.concatenate([
-        adj_v[:keep_e].astype(np.int32),
-        np.full(V0 - b_last, V0, np.int32),
+        *([np.arange(src_w, src_w + w0, dtype=np.int32)] if src_w else []),
+        adj_v[e_lo : e_lo + keep_e].astype(np.int32) - v_lo + src_w,
+        np.full(V0 - b_last, V0 + src_w, np.int32),
     ])
     aw = np.concatenate([
-        adj_w[:keep_e].astype(np.int8),
+        *([np.zeros(w0, np.int8)] if src_w else []),
+        adj_w[e_lo : e_lo + keep_e].astype(np.int8),
         np.zeros(V0 - b_last, np.int8),
     ])
 
     # colours: slice CSRs + compact remap preserving hom/het classes
-    hp = np.concatenate([hom_ptr[: V0 + 1], [hom_ptr[V0]]]).astype(np.int64)
-    tp = np.concatenate([het_ptr[: V0 + 1], [het_ptr[V0]]]).astype(np.int64)
-    hc = hom_colors[: int(hom_ptr[V0])].astype(np.int64)
-    tc = het_colors[: int(het_ptr[V0])].astype(np.int64)
+    h_lo = int(hom_ptr[v_lo])
+    t_lo = int(het_ptr[v_lo])
+    hp = np.concatenate([
+        np.zeros(src_w, np.int64),
+        hom_ptr[v_lo : v_lo + V0 + 1] - h_lo,
+        [hom_ptr[v_lo + V0] - h_lo],
+    ]).astype(np.int64)
+    tp = np.concatenate([
+        np.zeros(src_w, np.int64),
+        het_ptr[v_lo : v_lo + V0 + 1] - t_lo,
+        [het_ptr[v_lo + V0] - t_lo],
+    ]).astype(np.int64)
+    hc = hom_colors[h_lo : int(hom_ptr[v_lo + V0])].astype(np.int64)
+    tc = het_colors[t_lo : int(het_ptr[v_lo + V0])].astype(np.int64)
     uh = np.unique(hc)
     ut = np.unique(tc)
     hc2 = np.searchsorted(uh, hc).astype(np.int32)
@@ -97,12 +127,13 @@ def main() -> int:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "tests", "data", "mhc_slice_csr.npz",
     )
+    l0 = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     R = 18
 
     import bench
 
     arrs = bench.build_mhc_csr()
-    sl, chb = slice_csr(arrs, NL)
+    sl, chb = slice_csr(arrs, NL, l0)
     g = csr_to_expanded(sl, chb)
 
     from dipgenie_tpu.solver.diploid import build_color_masks, _forward_exact

@@ -214,6 +214,41 @@ def test_pallas_wide_commit_hole_window():
     _check(g, chb, 0)
 
 
+def test_native_planner_matches_numpy_planner():
+    """dg_pair_tables (one-call OpenMP planner) must produce plans whose
+    every array is byte-identical to the numpy reference producer, on
+    narrow-only, mixed, and wide instances."""
+    import os
+
+    from dipgenie_tpu import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    cases = [(0, 12, 5, 5, 8), (200, 16, 16, 5, 10), (400, 10, 40, 4, 8),
+             (500, 14, 36, 6, 9)]
+    for seed, L, kmax, R, nc in cases:
+        rng = np.random.default_rng(seed)
+        g = _random_leveled_graph(rng, L=L, kmax=kmax, ncolors=nc)
+        chb = [bool(x) for x in rng.random(nc) < 0.4]
+        arrs = csr_arrays(g, chb)
+        os.environ["DIPGENIE_NO_NATIVE_PLANNER"] = "1"
+        try:
+            pn = plan_pairs(*arrs, R)
+        finally:
+            del os.environ["DIPGENIE_NO_NATIVE_PLANNER"]
+        pv = plan_pairs(*arrs, R)
+        assert pv.max_abs_value == pn.max_abs_value, seed
+        assert len(pv.segments) == len(pn.segments), seed
+        for sv, sn in zip(pv.segments, pn.segments):
+            assert type(sv) is type(sn)
+            for f in sv.__dataclass_fields__:
+                a, b = getattr(sv, f), getattr(sn, f)
+                if isinstance(a, np.ndarray):
+                    assert np.array_equal(a, b), (seed, f)
+                else:
+                    assert a == b, (seed, f)
+
+
 def test_pallas_value_bound_guard():
     """Planning rejects instances whose packed int32 key would overflow."""
     rng = np.random.default_rng(3)
