@@ -382,6 +382,12 @@ def main() -> int:
             result["e2e_wall_s"] = round(e2e_wall, 1)
             result["e2e_backend"] = e2e_backend
             result["e2e_byte_identical"] = e2e_ok
+            # same-session native-tier e2e: the honest comparison point
+            # for "does the TPU path win end-to-end, cold, on this
+            # host" (round-4 verdict weak #1)
+            e2e_nat, nat_ok = run_e2e("native")
+            result["e2e_native_wall_s"] = round(e2e_nat, 1)
+            result["e2e_native_byte_identical"] = nat_ok
         except Exception as e:  # noqa: BLE001
             log(f"e2e measurement failed: {e}")
     result["total_bench_wall_s"] = round(time.time() - t_all, 1)

@@ -79,16 +79,18 @@ _TBL_ROWS = 2
 # CRITICAL: the default TPU f32 dot truncates inputs to bf16 (8
 # mantissa bits), which collapses the value+2^22 offset plane to a
 # constant and silently zeroes the DP (this was round 3's "sink value
-# 0" bug). The kernels therefore decompose every value operand into
-# THREE 8-bit planes (each exactly representable in bf16; the one-hot
-# side is 0/1, exact) and run ONE default-precision matmul over the
-# stacked planes, recombining p0 + p1*256 + p2*65536 afterwards —
-# exact for values < 2^24 and 2-6x cheaper than Mosaic's HIGHEST
-# (f32-full) passes. Mosaic does not implement Precision.HIGH.
-# Parity tests on real TPU gate any change here.
+# 0" bug). Round 4 used THREE bf16-exact 8-bit f32 planes; round 5
+# moved to the MXU's native s8 x s8 -> s32 mode (exact by
+# construction, no float converts, 2x the bf16 MAC rate): each 8-bit
+# plane is signed-biased into [-128, 127] (p' = p - 128) and the bias
+# is corrected after the dot — one-hot gather columns sum to exactly
+# 1, so the correction is the constant _I8_BIAS; the extract's
+# one-hot can have empty columns, so a ones row rides along to count
+# column hits and scale the correction. Compiled parity on real TPU
+# (scripts/tpu_parity_gate.py) gates any change here.
 import os as _os
 
-_DOT_PRECISION = _os.environ.get("DIPGENIE_DOT_PRECISION", "default")
+_I8_BIAS = 128 * (1 + 256 + 65536)  # signed-bias correction per column hit
 REACH_T = -(2**18)  # values above this are reachable
 INVALID = -(2**30)  # packed-key / candidate sentinel
 PAD_SC = -(2**22)  # score of padded pair lanes (loses every max)
@@ -715,37 +717,43 @@ def _narrow_kernel(R1: int, T_static: int):
             dst = ((packed >> 2) & 2047) - 1  # -1 on padded lanes
             gidx = packed >> 13
 
-            # ---- gather: cand[r, p] = V[r, gidx[p]] — ONE default-
-            # precision matmul over three 8-bit planes of (V - NEG)
-            # (bf16-exact; see _DOT_PRECISION comment) ----
-            def plane_gather(Vblk, G):
+            # ---- gather: cand[r, p] = V[r, gidx[p]] — ONE s8 MXU
+            # matmul over three signed-biased 8-bit planes of (V - NEG)
+            # (exact s8 x s8 -> s32; see _I8_BIAS comment) ----
+            def plane_gather(Vblk, G8):
                 u = Vblk - NEG  # [R1P, W] in [0, 2^22)
                 st = jnp.concatenate(
-                    [u & 255, (u >> 8) & 255, u >> 16], axis=0
-                ).astype(jnp.float32)
+                    [
+                        (u & 255) - 128,
+                        ((u >> 8) & 255) - 128,
+                        (u >> 16) - 128,
+                    ],
+                    axis=0,
+                ).astype(jnp.int8)
                 g = jax.lax.dot_general(
                     st,
-                    G,
+                    G8,
                     dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_DOT_PRECISION,
+                    preferred_element_type=jnp.int32,
                 )
-                u2 = (
-                    g[:R1P] + g[R1P : 2 * R1P] * 256.0 + g[2 * R1P :] * 65536.0
-                ).astype(jnp.int32)
-                return u2 + NEG
+                return (
+                    g[:R1P]
+                    + (g[R1P : 2 * R1P] << 8)
+                    + (g[2 * R1P :] << 16)
+                    + (_I8_BIAS + NEG)
+                )
 
             @pl.when(jnp.logical_not(in1024))
             def _():
                 rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-                G = (rows == gidx[None, :]).astype(jnp.float32)
-                cand[...] = plane_gather(V[:, :CHUNK], G)
+                G8 = (rows == gidx[None, :]).astype(jnp.int8)
+                cand[...] = plane_gather(V[:, :CHUNK], G8)
 
             @pl.when(in1024)
             def _():
                 rows = jax.lax.broadcasted_iota(jnp.int32, (1024, CHUNK), 0)
-                G = (rows == gidx[None, :]).astype(jnp.float32)
-                cand[...] = plane_gather(V[...], G)
+                G8 = (rows == gidx[None, :]).astype(jnp.int8)
+                cand[...] = plane_gather(V[...], G8)
 
             g0 = cand[...]
             ri = jax.lax.broadcasted_iota(jnp.int32, (R1P, CHUNK), 0)
@@ -776,9 +784,20 @@ def _narrow_kernel(R1: int, T_static: int):
             slot = (CHUNK - 1) - jnp.bitwise_and(kv, CHUNK - 1)
             OFF = jnp.int32(1 << 22)
             voff = vfin + OFF  # in [0, 2^23) for valid, 0 for INVALID
+            # signed-biased s8 planes + slot plane + a ones row: extract
+            # one-hot columns can be EMPTY (hole out lanes), so the
+            # ones row counts column hits and scales the bias
+            # correction (0 hits -> exr 0 -> invalid, as before)
             stacked = jnp.concatenate(
-                [voff & 255, (voff >> 8) & 255, voff >> 16, slot + 1], axis=0
-            )
+                [
+                    (voff & 255) - 128,
+                    ((voff >> 8) & 255) - 128,
+                    (voff >> 16) - 128,
+                    slot - 128,
+                    jnp.ones((1, CHUNK), jnp.int32),
+                ],
+                axis=0,
+            ).astype(jnp.int8)
 
             base = sbase_ref[t]
             # extract one-hot from dst alone: pairs are dst-sorted within
@@ -797,25 +816,26 @@ def _narrow_kernel(R1: int, T_static: int):
                 rowsO = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
                 Et = jnp.concatenate(
                     [
-                        (rowsO == (dstm - b * CHUNK)).astype(jnp.float32)
+                        (rowsO == (dstm - b * CHUNK)).astype(jnp.int8)
                         for b in range(OUT // CHUNK)
                     ],
                     axis=0,
                 )  # [OUT, CHUNK]
                 ex = jax.lax.dot_general(
-                    stacked.astype(jnp.float32),
+                    stacked,
                     Et,
                     dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_DOT_PRECISION,
+                    preferred_element_type=jnp.int32,
                 )
+                hits = ex[4 * R1P : 4 * R1P + 1]  # [1, OUT] column hits
                 exr = (
                     ex[:R1P]
-                    + ex[R1P : 2 * R1P] * 256.0
-                    + ex[2 * R1P : 3 * R1P] * 65536.0
-                ).astype(jnp.int32)
+                    + (ex[R1P : 2 * R1P] << 8)
+                    + (ex[2 * R1P : 3 * R1P] << 16)
+                    + _I8_BIAS * hits
+                )
                 exv = jnp.where(exr > 0, exr - OFF, jnp.int32(INVALID))
-                exs = ex[3 * R1P :].astype(jnp.int32) - 1 + base
+                exs = ex[3 * R1P : 4 * R1P] + 128 * hits + base
                 av = accv[:, :OUT]
                 take = exv > av
                 nv = jnp.where(first, exv, jnp.where(take, exv, av))
@@ -959,31 +979,42 @@ def _wide_kernel(NB: int, T_static: int):
             dst = ((packed >> 2) & 2047) - 1  # window-relative (-1 pad)
             gidx = packed >> 13
 
-            # ---- gather: block-masked one-hot matmuls over src windows,
-            # accumulating three 8-bit planes of (V - NEG) (bf16-exact) ----
-            candf[...] = jnp.zeros((3 * R1P, CHUNK), jnp.float32)
+            # ---- gather: block-masked one-hot s8 matmuls over src
+            # windows, accumulating three signed-biased 8-bit planes of
+            # (V - NEG); every lane's gidx hits exactly one window, so
+            # the bias correction stays the constant _I8_BIAS ----
+            candf[...] = jnp.zeros((3 * R1P, CHUNK), jnp.int32)
             rows = jax.lax.broadcasted_iota(jnp.int32, (1024, CHUNK), 0)
             for b in range(NB):
 
                 @pl.when(((gmask >> b) & 1) != 0)
                 def _(b=b):
-                    G = (rows == (gidx[None, :] - b * 1024)).astype(jnp.float32)
+                    G8 = (rows == (gidx[None, :] - b * 1024)).astype(
+                        jnp.int8
+                    )
                     u = Vnow[:, b * 1024 : (b + 1) * 1024] - NEG
                     st = jnp.concatenate(
-                        [u & 255, (u >> 8) & 255, u >> 16], axis=0
-                    ).astype(jnp.float32)
+                        [
+                            (u & 255) - 128,
+                            ((u >> 8) & 255) - 128,
+                            (u >> 16) - 128,
+                        ],
+                        axis=0,
+                    ).astype(jnp.int8)
                     candf[...] += jax.lax.dot_general(
                         st,
-                        G,
+                        G8,
                         dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=_DOT_PRECISION,
+                        preferred_element_type=jnp.int32,
                     )
 
             cf = candf[...]
             g0 = (
-                cf[:R1P] + cf[R1P : 2 * R1P] * 256.0 + cf[2 * R1P :] * 65536.0
-            ).astype(jnp.int32) + NEG
+                cf[:R1P]
+                + (cf[R1P : 2 * R1P] << 8)
+                + (cf[2 * R1P :] << 16)
+                + (_I8_BIAS + NEG)
+            )
             ri = jax.lax.broadcasted_iota(jnp.int32, (R1P, CHUNK), 0)
             g1 = jnp.where(ri >= 1, pltpu.roll(g0, 1, 0), NEG)
             g2 = jnp.where(ri >= 2, pltpu.roll(g0, 2, 0), NEG)
@@ -1011,8 +1042,15 @@ def _wide_kernel(NB: int, T_static: int):
             OFF = jnp.int32(1 << 22)
             voff = vfin + OFF
             stacked = jnp.concatenate(
-                [voff & 255, (voff >> 8) & 255, voff >> 16, slot + 1], axis=0
-            )
+                [
+                    (voff & 255) - 128,
+                    ((voff >> 8) & 255) - 128,
+                    (voff >> 16) - 128,
+                    slot - 128,
+                    jnp.ones((1, CHUNK), jnp.int32),
+                ],
+                axis=0,
+            ).astype(jnp.int8)
             # in-kernel extract one-hot (see narrow kernel): last
             # occurrence per dst within the chunk, transposed blocks
             lastocc = (lane == CHUNK - 1) | (segb != pltpu.roll(segb, CHUNK - 1, 1))
@@ -1020,25 +1058,26 @@ def _wide_kernel(NB: int, T_static: int):
             rowsO = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
             Et = jnp.concatenate(
                 [
-                    (rowsO == (dstm - b * CHUNK)).astype(jnp.float32)
+                    (rowsO == (dstm - b * CHUNK)).astype(jnp.int8)
                     for b in range(4)
                 ],
                 axis=0,
             )  # [1024, CHUNK]
             ex = jax.lax.dot_general(
-                stacked.astype(jnp.float32),
+                stacked,
                 Et,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_DOT_PRECISION,
+                preferred_element_type=jnp.int32,
             )
+            hits = ex[4 * R1P : 4 * R1P + 1]  # [1, 1024] column hits
             exr = (
                 ex[:R1P]
-                + ex[R1P : 2 * R1P] * 256.0
-                + ex[2 * R1P : 3 * R1P] * 65536.0
-            ).astype(jnp.int32)
+                + (ex[R1P : 2 * R1P] << 8)
+                + (ex[2 * R1P : 3 * R1P] << 16)
+                + _I8_BIAS * hits
+            )
             exv = jnp.where(exr > 0, exr - OFF, jnp.int32(INVALID))
-            exs = ex[3 * R1P :].astype(jnp.int32) - 1 + base
+            exs = ex[3 * R1P : 4 * R1P] + 128 * hits + base
 
             # ---- RMW into the destination window of Vnext + bp block ----
             for b in range(NB):
@@ -1109,7 +1148,7 @@ def _wide_call(seg: _WideRun, R1: int, interpret: bool = False):
         scratch_shapes=[
             pltpu.VMEM((R1P, NB * 1024), jnp.int32),
             pltpu.VMEM((R1P, NB * 1024), jnp.int32),
-            pltpu.VMEM((3 * R1P, CHUNK), jnp.float32),
+            pltpu.VMEM((3 * R1P, CHUNK), jnp.int32),
         ],
     )
     nrowsp = _ladder_fit(seg.nrows, _BP_LADDER)
@@ -1210,31 +1249,38 @@ def _wide_step_kernel(NB: int, C: int):
             dst = ((packed >> 2) & 2047) - 1
             gidx = packed >> 13
 
-            candf[...] = jnp.zeros((3 * R1P, CHUNK), jnp.float32)
+            candf[...] = jnp.zeros((3 * R1P, CHUNK), jnp.int32)
             rows = jax.lax.broadcasted_iota(jnp.int32, (1024, CHUNK), 0)
             for b in range(NB):
 
                 @pl.when(((gmask >> b) & 1) != 0)
                 def _(b=b):
-                    G = (rows == (gidx[None, :] - b * 1024)).astype(
-                        jnp.float32
+                    G8 = (rows == (gidx[None, :] - b * 1024)).astype(
+                        jnp.int8
                     )
                     u = vnow_ref[:, b * 1024 : (b + 1) * 1024] - NEG
                     st = jnp.concatenate(
-                        [u & 255, (u >> 8) & 255, u >> 16], axis=0
-                    ).astype(jnp.float32)
+                        [
+                            (u & 255) - 128,
+                            ((u >> 8) & 255) - 128,
+                            (u >> 16) - 128,
+                        ],
+                        axis=0,
+                    ).astype(jnp.int8)
                     candf[...] += jax.lax.dot_general(
                         st,
-                        G,
+                        G8,
                         dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=_DOT_PRECISION,
+                        preferred_element_type=jnp.int32,
                     )
 
             cf = candf[...]
             g0 = (
-                cf[:R1P] + cf[R1P : 2 * R1P] * 256.0 + cf[2 * R1P :] * 65536.0
-            ).astype(jnp.int32) + NEG
+                cf[:R1P]
+                + (cf[R1P : 2 * R1P] << 8)
+                + (cf[2 * R1P :] << 16)
+                + (_I8_BIAS + NEG)
+            )
             ri = jax.lax.broadcasted_iota(jnp.int32, (R1P, CHUNK), 0)
             g1 = jnp.where(ri >= 1, pltpu.roll(g0, 1, 0), NEG)
             g2 = jnp.where(ri >= 2, pltpu.roll(g0, 2, 0), NEG)
@@ -1262,8 +1308,15 @@ def _wide_step_kernel(NB: int, C: int):
             OFF = jnp.int32(1 << 22)
             voff = vfin + OFF
             stacked = jnp.concatenate(
-                [voff & 255, (voff >> 8) & 255, voff >> 16, slot + 1], axis=0
-            )
+                [
+                    (voff & 255) - 128,
+                    ((voff >> 8) & 255) - 128,
+                    (voff >> 16) - 128,
+                    slot - 128,
+                    jnp.ones((1, CHUNK), jnp.int32),
+                ],
+                axis=0,
+            ).astype(jnp.int8)
             lastocc = (lane == CHUNK - 1) | (
                 segb != pltpu.roll(segb, CHUNK - 1, 1)
             )
@@ -1271,25 +1324,26 @@ def _wide_step_kernel(NB: int, C: int):
             rowsO = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
             Et = jnp.concatenate(
                 [
-                    (rowsO == (dstm - b * CHUNK)).astype(jnp.float32)
+                    (rowsO == (dstm - b * CHUNK)).astype(jnp.int8)
                     for b in range(4)
                 ],
                 axis=0,
             )
             ex = jax.lax.dot_general(
-                stacked.astype(jnp.float32),
+                stacked,
                 Et,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_DOT_PRECISION,
+                preferred_element_type=jnp.int32,
             )
+            hits = ex[4 * R1P : 4 * R1P + 1]  # [1, 1024] column hits
             exr = (
                 ex[:R1P]
-                + ex[R1P : 2 * R1P] * 256.0
-                + ex[2 * R1P : 3 * R1P] * 65536.0
-            ).astype(jnp.int32)
+                + (ex[R1P : 2 * R1P] << 8)
+                + (ex[2 * R1P : 3 * R1P] << 16)
+                + _I8_BIAS * hits
+            )
             exv = jnp.where(exr > 0, exr - OFF, jnp.int32(INVALID))
-            exs = ex[3 * R1P :].astype(jnp.int32) - 1 + base
+            exs = ex[3 * R1P : 4 * R1P] + 128 * hits + base
 
             # RMW into the owned destination window of the partials
             # (chunks of one window are consecutive in plan order on
@@ -1328,7 +1382,7 @@ def _wide_step_call(NB: int, C: int, interpret: bool = False):
             pl.BlockSpec((R1P, NB * 1024), lambda t, *s: (0, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((3 * R1P, CHUNK), jnp.float32),
+            pltpu.VMEM((3 * R1P, CHUNK), jnp.int32),
         ],
     )
 
