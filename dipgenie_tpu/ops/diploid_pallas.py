@@ -60,7 +60,7 @@ import numpy as np
 NEG = -(2**19)  # unreachable sentinel, re-pinned every level
 
 # bump when plan layout/ladders change (invalidates on-disk plan caches)
-PLAN_FORMAT = 6
+PLAN_FORMAT = 7
 
 # packed chunk-table layout (PLAN_FORMAT 6): tbl is [nchunks, 2, CHUNK]
 #   row 0: gidx << 13 | (dst + 1) << 2 | wsum   (gidx < 2^15 = NB_max*1024
@@ -206,6 +206,28 @@ class _WideRun:
     tb_bprow: np.ndarray  # [T] int32 first bp row of transition
     tb_bin: np.ndarray  # [T] int32 src layout divisor (flat k if wide)
     tb_bout: np.ndarray  # [T] int32 dst layout divisor
+    # ---- DENSE chunking (round 5, single-chip megakernel) ----
+    # The window-split chunks above leave wide chunks only ~34% full on
+    # MHC (chunks break at every 1024-lane dst-window boundary); the
+    # dense tables pack pairs contiguously — a chunk may span several
+    # dst windows — and the dense kernel extracts/RMWs per spanned
+    # window. The window-split arrays remain the tables of the
+    # tp-sharded path (its pmax merge requires window-disjoint device
+    # ownership) and of its traceback. Dense rowA packing:
+    #   gidx(15) << 17 | win(5) << 12 | rel(10) << 2 | wsum(2)
+    # (padded lanes are all-zero rowA and are identified by
+    # score == PAD_SC, NOT by a dst sentinel).
+    dtbl: np.ndarray  # [ndch_pad, 2, CHUNK] int32
+    dw1: np.ndarray  # [ndch_pad, CHUNK] int8 (traceback)
+    dsymd: np.ndarray  # [ndch_pad, CHUNK] int16 (traceback)
+    dbits: np.ndarray  # [ndch_pad] int32: 2 commit, 4 real
+    dfmask: np.ndarray  # [ndch_pad] int32 first-touch dst-window bits
+    dcmask: np.ndarray  # [ndch_pad] int32 spanned dst-window bits
+    dgmask: np.ndarray  # [ndch_pad] int32 src-window bits
+    dpmask: np.ndarray  # [ndch_pad] int32 transition presence bits
+    dtrans: np.ndarray  # [ndch_pad] int32 transition ordinal (bp row)
+    dwbase: np.ndarray  # [ndch_pad] int32 chunk pair-ordinal base
+    tb2_chunkbase: np.ndarray  # [T] int32 first dense chunk of transition
 
 
 @dataclass
@@ -645,6 +667,74 @@ def _plan_wide_run(t0, t1, widths, pair_tables, R):
         wrow[nreal:] = wrow[nreal - 1]
         wwin[nreal:] = wwin[nreal - 1]
         wpmask[nreal:] = wpmask[nreal - 1]
+
+    # ---- pass 3: DENSE chunking for the single-chip megakernel ----
+    # pairs pack contiguously into 256-lane chunks that may straddle
+    # dst windows (window-split chunks above are only ~34% full on MHC)
+    ndch_per = [max(1, (len(tab[0]) + CHUNK - 1) // CHUNK) for tab in tabs]
+    ndreal = int(sum(ndch_per))
+    ndpad = _ladder_fit(ndreal, _RUN_LADDER)
+    dtbl = np.zeros((ndpad, _TBL_ROWS, CHUNK), np.int32)
+    dtbl[:, 1] = PAD_SC
+    dw1 = np.zeros((ndpad, CHUNK), np.int8)
+    dsymd = np.zeros((ndpad, CHUNK), np.int16)
+    dbits = np.zeros(ndpad, np.int32)
+    dfmask = np.zeros(ndpad, np.int32)
+    dcmask = np.zeros(ndpad, np.int32)
+    dgmask = np.zeros(ndpad, np.int32)
+    dpmask = np.zeros(ndpad, np.int32)
+    dtrans = np.zeros(ndpad, np.int32)
+    dwbase = np.zeros(ndpad, np.int32)
+    tb2_chunkbase = np.zeros(T, np.int32)
+    drow = 0
+    for ti, (gidx, ws, score, dstl, w1, symd, Bin, Bout) in enumerate(tabs):
+        _, _, _, pmask = per_tr[ti]
+        tb2_chunkbase[ti] = drow
+        n = len(gidx)
+        winv = dstl >> 10
+        relv = dstl & 1023
+        packed = (
+            (gidx.astype(np.int32) << 17)
+            | (winv.astype(np.int32) << 12)
+            | (relv.astype(np.int32) << 2)
+            | ws.astype(np.int32)
+        )
+        seen = 0
+        nch = ndch_per[ti]
+        for ci in range(nch):
+            c0, c1 = ci * CHUNK, min((ci + 1) * CHUNK, n)
+            m = c1 - c0
+            row = drow + ci
+            if m > 0:
+                dtbl[row, 0, :m] = packed[c0:c1]
+                dtbl[row, 1, :m] = score[c0:c1]
+                dw1[row, :m] = w1[c0:c1]
+                dsymd[row, :m] = symd[c0:c1]
+                cm = int(
+                    np.bitwise_or.reduce(
+                        np.left_shift(1, np.unique(winv[c0:c1])), initial=0
+                    )
+                )
+                dgmask[row] = int(
+                    np.bitwise_or.reduce(
+                        np.left_shift(1, np.unique(gidx[c0:c1] >> 10)),
+                        initial=0,
+                    )
+                )
+            else:
+                cm = 0
+            dcmask[row] = cm
+            dfmask[row] = cm & ~seen
+            seen |= cm
+            dbits[row] = 4 | (2 if ci == nch - 1 else 0)
+            dpmask[row] = pmask
+            dtrans[row] = ti
+            dwbase[row] = c0
+        drow += nch
+    if ndreal:
+        dtrans[ndreal:] = dtrans[ndreal - 1]
+        dpmask[ndreal:] = dpmask[ndreal - 1]
+
     return _WideRun(
         t0=t0,
         t1=t1,
@@ -664,6 +754,17 @@ def _plan_wide_run(t0, t1, widths, pair_tables, R):
         tb_bprow=tb_bprow,
         tb_bin=tb_bin,
         tb_bout=tb_bout,
+        dtbl=dtbl,
+        dw1=dw1,
+        dsymd=dsymd,
+        dbits=dbits,
+        dfmask=dfmask,
+        dcmask=dcmask,
+        dgmask=dgmask,
+        dpmask=dpmask,
+        dtrans=dtrans,
+        dwbase=dwbase,
+        tb2_chunkbase=tb2_chunkbase,
     )
 
 
@@ -922,11 +1023,18 @@ def _narrow_call(seg: _NarrowRun, R1: int, interpret: bool = False):
 
 
 # --------------------------------------------------------------------
-# wide gap (XLA)
+# wide Pallas kernel (window-split chunks) — BIG-NB fallback
 # --------------------------------------------------------------------
+# The dense-chunk kernel above needs ~3 x NB x 128 KB of VMEM plus a
+# double-buffered [R1P, NB*1024] bp block and fails to compile at
+# NB = 31 (width > ~141). Runs that big keep the round-4 window-split
+# whole-run kernel (one dst window per chunk, bp per (transition,
+# window) row), whose VMEM peak is 2 x NB x 128 KB + 128 KB. All MHC
+# wide runs are NB <= 18 and use the dense kernel.
 
+_DENSE_NB_MAX = 18
 
-def _wide_kernel(NB: int, T_static: int):
+def _wide_split_kernel(NB: int, T_static: int):
     """Wide-run kernel: V in a [R1P, NB*1024] double-buffered VMEM
     scratch; one 256-pair chunk per grid step. All window addressing is
     static-branch (pl.when on prefetched scalars) — no dynamic lane
@@ -1123,7 +1231,7 @@ def _wide_kernel(NB: int, T_static: int):
     return kern
 
 
-def _wide_call(seg: _WideRun, R1: int, interpret: bool = False):
+def _wide_split_call(seg: _WideRun, R1: int, interpret: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -1131,7 +1239,7 @@ def _wide_call(seg: _WideRun, R1: int, interpret: bool = False):
 
     T = len(seg.wbits)
     NB = seg.NB
-    kern = _wide_kernel(NB, T)
+    kern = _wide_split_kernel(NB, T)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(T,),
@@ -1163,6 +1271,257 @@ def _wide_call(seg: _WideRun, R1: int, interpret: bool = False):
             ),
             interpret=interpret,
         )(wbits, wwin, wpmask, wbase, wgmask, wrow, tbl, vinit)
+
+    return run
+
+
+# --------------------------------------------------------------------
+# wide Pallas kernel (dense chunks, single chip)
+# --------------------------------------------------------------------
+
+
+def _wide_dense_kernel(NB: int, T_static: int):
+    """Wide-run kernel over DENSE 256-pair chunks: V in a
+    [R1P, NB*1024] double-buffered VMEM scratch; a chunk may span
+    several 1024-lane destination windows (dcmask bits), each extracted
+    and read-modify-written separately. Backpointers leave as ONE
+    [R1P, NB*1024] block per transition (pair ordinals are true global
+    pair indices, base = chunk * CHUNK). All window addressing is
+    static-branch (pl.when on prefetched scalars) — no dynamic lane
+    slicing, which Mosaic restricts."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(
+        dbits_ref,
+        dfmask_ref,
+        dcmask_ref,
+        dgmask_ref,
+        dpmask_ref,
+        dtrans_ref,
+        dwbase_ref,
+        tbl_ref,
+        vinit_ref,
+        bp_ref,
+        vout_ref,
+        Vnow,
+        Vnext,
+        candf,
+    ):
+        t = pl.program_id(0)
+        T = T_static
+        bits = dbits_ref[t]
+        fmask = dfmask_ref[t]
+        cmask = dcmask_ref[t]
+        gmask = dgmask_ref[t]
+        pmask = dpmask_ref[t]
+        base = dwbase_ref[t]
+        commit = (bits & 2) != 0
+        real = (bits & 4) != 0  # ladder-padded chunks skip all compute
+
+        @pl.when(t == 0)
+        def _():
+            for b in range(NB):
+                Vnow[:, b * 1024 : (b + 1) * 1024] = jnp.full(
+                    (R1P, 1024), NEG, jnp.int32
+                )
+            Vnow[:, :1024] = vinit_ref[...]
+
+        @pl.when(real)
+        def _():
+            tbl = tbl_ref[0]  # [2, CHUNK] dense-packed
+            packed = tbl[0]
+            sc = tbl[1]
+            wsum = packed & 3
+            rel = (packed >> 2) & 1023
+            winl = (packed >> 12) & 31
+            gidx = (packed >> 17) & 32767
+
+            # ---- gather: block-masked one-hot s8 matmuls over src
+            # windows (see the sharded step kernel for the bias math) --
+            candf[...] = jnp.zeros((3 * R1P, CHUNK), jnp.int32)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (1024, CHUNK), 0)
+            for b in range(NB):
+
+                @pl.when(((gmask >> b) & 1) != 0)
+                def _(b=b):
+                    G8 = (rows == (gidx[None, :] - b * 1024)).astype(
+                        jnp.int8
+                    )
+                    u = Vnow[:, b * 1024 : (b + 1) * 1024] - NEG
+                    st = jnp.concatenate(
+                        [
+                            (u & 255) - 128,
+                            ((u >> 8) & 255) - 128,
+                            (u >> 16) - 128,
+                        ],
+                        axis=0,
+                    ).astype(jnp.int8)
+                    candf[...] += jax.lax.dot_general(
+                        st,
+                        G8,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+
+            cf = candf[...]
+            g0 = (
+                cf[:R1P]
+                + (cf[R1P : 2 * R1P] << 8)
+                + (cf[2 * R1P :] << 16)
+                + (_I8_BIAS + NEG)
+            )
+            ri = jax.lax.broadcasted_iota(jnp.int32, (R1P, CHUNK), 0)
+            g1 = jnp.where(ri >= 1, pltpu.roll(g0, 1, 0), NEG)
+            g2 = jnp.where(ri >= 2, pltpu.roll(g0, 2, 0), NEG)
+            wb = wsum[None, :]
+            c = jnp.where(wb == 0, g0, jnp.where(wb == 1, g1, g2))
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            slotc = (CHUNK - 1) - lane
+            kv = jnp.where(
+                c < REACH_T,
+                jnp.int32(INVALID),
+                (c + sc[None, :]) * CHUNK + slotc,
+            )
+            # scan segments on the GLOBAL dst lane (win<<10 | rel),
+            # ascending within a chunk by the dst sort
+            segb = ((winl << 10) | rel)[None, :]
+            s = 1
+            while s < CHUNK:
+                conn = (lane >= s) & (segb == pltpu.roll(segb, s, 1))
+                m = jnp.broadcast_to(conn, (R1P, CHUNK))
+                sv = pltpu.roll(kv, s, 1)
+                kv = jnp.where(m & (sv > kv), sv, kv)
+                s *= 2
+
+            vfin = jax.lax.shift_right_arithmetic(kv, 8)
+            slot = (CHUNK - 1) - jnp.bitwise_and(kv, CHUNK - 1)
+            OFF = jnp.int32(1 << 22)
+            voff = vfin + OFF
+            stacked = jnp.concatenate(
+                [
+                    (voff & 255) - 128,
+                    ((voff >> 8) & 255) - 128,
+                    (voff >> 16) - 128,
+                    slot - 128,
+                    jnp.ones((1, CHUNK), jnp.int32),
+                ],
+                axis=0,
+            ).astype(jnp.int8)
+            # last occurrence per dst; dense pads are all-zero rowA
+            # (dstg 0 == a REAL lane of window 0), so they must be
+            # excluded explicitly via the PAD_SC score marker — a pad
+            # tail would otherwise add a second one-hot hit for out
+            # lane (0, 0)
+            lastocc = (lane == CHUNK - 1) | (
+                segb != pltpu.roll(segb, CHUNK - 1, 1)
+            )
+            emask = lastocc & (sc[None, :] != PAD_SC)
+            rowsO = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+
+            # ---- per spanned dst window: extract + RMW ----
+            for b in range(NB):
+
+                @pl.when(((cmask >> b) & 1) != 0)
+                def _(b=b):
+                    dstm_b = jnp.where(
+                        emask & (winl[None, :] == b), rel[None, :], -2
+                    )
+                    Et = jnp.concatenate(
+                        [
+                            (rowsO == (dstm_b - q * CHUNK)).astype(jnp.int8)
+                            for q in range(4)
+                        ],
+                        axis=0,
+                    )  # [1024, CHUNK]
+                    ex = jax.lax.dot_general(
+                        stacked,
+                        Et,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    hits = ex[4 * R1P : 4 * R1P + 1]
+                    exr = (
+                        ex[:R1P]
+                        + (ex[R1P : 2 * R1P] << 8)
+                        + (ex[2 * R1P : 3 * R1P] << 16)
+                        + _I8_BIAS * hits
+                    )
+                    exv = jnp.where(exr > 0, exr - OFF, jnp.int32(INVALID))
+                    exs = ex[3 * R1P : 4 * R1P] + 128 * hits + base
+                    first = ((fmask >> b) & 1) != 0
+                    sl = slice(b * 1024, (b + 1) * 1024)
+                    old = jnp.where(first, jnp.int32(NEG), Vnext[:, sl])
+                    bpold = jnp.where(first, jnp.int32(0), bp_ref[0, :, sl])
+                    take = exv > old
+                    Vnext[:, sl] = jnp.where(take, exv, old)
+                    bp_ref[0, :, sl] = jnp.where(take, exs, bpold)
+
+            # ---- end of transition: promote Vnext to Vnow (presence-
+            # mask commit; see the window-split kernel history for the
+            # stale-window postmortem) ----
+            @pl.when(commit)
+            def _():
+                for b in range(NB):
+                    present = ((pmask >> b) & 1) != 0
+                    nv = Vnext[:, b * 1024 : (b + 1) * 1024]
+                    Vnow[:, b * 1024 : (b + 1) * 1024] = jnp.where(
+                        present & (nv > REACH_T), nv, jnp.int32(NEG)
+                    )
+
+        @pl.when(t == T - 1)
+        def _():
+            vout_ref[...] = Vnow[:, :1024]
+
+    return kern
+
+
+def _wide_call(seg: _WideRun, R1: int, interpret: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T = len(seg.dbits)
+    NB = seg.NB
+    kern = _wide_dense_kernel(NB, T)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, _TBL_ROWS, CHUNK), lambda t, *s: (t, 0, 0)),
+            pl.BlockSpec((R1P, 1024), lambda t, *s: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, R1P, NB * 1024),
+                lambda t, a1, a2, a3, a4, a5, tr, a7: (tr[t], 0, 0),
+            ),
+            pl.BlockSpec((R1P, 1024), lambda t, *s: (0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R1P, NB * 1024), jnp.int32),
+            pltpu.VMEM((R1P, NB * 1024), jnp.int32),
+            pltpu.VMEM((3 * R1P, CHUNK), jnp.int32),
+        ],
+    )
+    ntp = _ladder_fit(seg.t1 - seg.t0, _BP_LADDER)
+
+    def run(dbits, dfmask, dcmask, dgmask, dpmask, dtrans, dwbase, tbl,
+            vinit):
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((ntp, R1P, NB * 1024), jnp.int32),
+                jax.ShapeDtypeStruct((R1P, 1024), jnp.int32),
+            ),
+            interpret=interpret,
+        )(dbits, dfmask, dcmask, dgmask, dpmask, dtrans, dwbase, tbl,
+          vinit)
 
     return run
 
@@ -1455,18 +1814,21 @@ def _narrow_trace(bp256, bp1024, tbl, w1t, syt, xs, carry):
     import jax
     import jax.numpy as jnp
 
+    # bp1024's last dim is 1024 for narrow spills and NB*1024 for dense
+    # wide runs (one [R1P, NB*1024] block per transition) — the lane
+    # split below handles both
+    LDIV = bp1024.shape[2]
+
     def f(c, x):
         lane, r, sh = c
         chunkbase, bits, bprow, bin_, bout, active = x
         out1024 = (bits & 2) != 0
+        dense = (bits & 4) != 0  # dense rowA packing (wide runs)
         s256 = jax.lax.dynamic_slice(
             bp256, (bprow, r, jnp.minimum(lane, CHUNK - 1)), (1, 1, 1)
         )[0, 0, 0].astype(jnp.int32)
-        # wide runs store one 1024-lane bp block per (transition,
-        # window): row = transition base + lane's window. Narrow
-        # transitions have lane < 1024, so the offset is 0 there.
         s1024 = jax.lax.dynamic_slice(
-            bp1024, (bprow + lane // 1024, r, lane % 1024), (1, 1, 1)
+            bp1024, (bprow + lane // LDIV, r, lane % LDIV), (1, 1, 1)
         )[0, 0, 0].astype(jnp.int32)
         slot = jnp.where(out1024, s1024, s256)
         crow = chunkbase + slot // CHUNK
@@ -1474,7 +1836,7 @@ def _narrow_trace(bp256, bp1024, tbl, w1t, syt, xs, carry):
         packed = jax.lax.dynamic_slice(tbl, (crow, 0, lanec), (1, 1, 1))[
             0, 0, 0
         ]
-        gidx = packed >> 13
+        gidx = jnp.where(dense, (packed >> 17) & 32767, packed >> 13)
         wsum = packed & 3
         w1 = jax.lax.dynamic_slice(w1t, (crow, lanec), (1, 1))[0, 0].astype(
             jnp.int32
@@ -1611,10 +1973,10 @@ class PairDiploidDP:
                         )
                     )
                 shipped.append(("ws", seg, dev))
-            else:
+            elif seg.NB > _DENSE_NB_MAX:
                 shipped.append(
                     (
-                        "w",
+                        "w2",  # big-NB window-split fallback kernel
                         seg,
                         tuple(
                             put(a)
@@ -1626,6 +1988,26 @@ class PairDiploidDP:
                                 seg.wgmask,
                                 seg.wrow,
                                 seg.tbl,
+                            )
+                        ),
+                    )
+                )
+            else:
+                shipped.append(
+                    (
+                        "w",
+                        seg,
+                        tuple(
+                            put(a)
+                            for a in (
+                                seg.dbits,
+                                seg.dfmask,
+                                seg.dcmask,
+                                seg.dgmask,
+                                seg.dpmask,
+                                seg.dtrans,
+                                seg.dwbase,
+                                seg.dtbl,
                             )
                         ),
                     )
@@ -1727,13 +2109,28 @@ class PairDiploidDP:
 
         key = (
             "w",
+            len(seg.dbits),
+            seg.NB,
+            _ladder_fit(seg.t1 - seg.t0, _BP_LADDER),
+        )
+        if key not in self._jits:
+            self._jits[key] = jax.jit(
+                _wide_call(seg, self.R + 1, self.interpret)
+            )
+        return self._jits[key]
+
+    def _wide_split_jit(self, seg):
+        import jax
+
+        key = (
+            "w2",
             len(seg.wbits),
             seg.NB,
             _ladder_fit(seg.nrows, _BP_LADDER),
         )
         if key not in self._jits:
             self._jits[key] = jax.jit(
-                _wide_call(seg, self.R + 1, self.interpret)
+                _wide_split_call(seg, self.R + 1, self.interpret)
             )
         return self._jits[key]
 
@@ -1763,7 +2160,11 @@ class PairDiploidDP:
                 V, bplist = self._run_wide_sharded(seg, dev, V, keep_bp)
                 bps.append(bplist if keep_bp else None)
             else:
-                fn = self._wide_jit(seg)
+                fn = (
+                    self._wide_split_jit(seg)
+                    if kind == "w2"
+                    else self._wide_jit(seg)
+                )
                 bp, V = fn(*dev, V)
                 bps.append(bp if keep_bp else None)
         return (V, bps, v_ins) if keep_v_in else (V, bps)
@@ -1817,11 +2218,24 @@ class PairDiploidDP:
         Treal = seg.t1 - seg.t0
         # both segment kinds share the 6-column trace row layout:
         # chunkbase, bits, bprow, bin, bout, active
+        if kind == "w":
+            # dense wide tables: bp row = transition ordinal, bits
+            # carry the dense-packing flag (4), chunk base in dense
+            # chunk space
+            chunkbase = seg.tb2_chunkbase
+            bits = np.full(Treal, 2 | 4, np.int32)
+            bprow = np.arange(Treal, dtype=np.int32)
+            w1t, syt = seg.dw1, seg.dsymd
+        else:  # "n" and the "w2" big-NB window-split fallback
+            chunkbase = seg.tb_chunkbase
+            bits = seg.tb_bits
+            bprow = seg.tb_bprow
+            w1t, syt = seg.w1, seg.symd
         xs = np.stack(
             [
-                seg.tb_chunkbase,
-                seg.tb_bits,
-                seg.tb_bprow,
+                chunkbase,
+                bits,
+                bprow,
                 seg.tb_bin,
                 seg.tb_bout,
                 np.ones(Treal, np.int32),
@@ -1832,7 +2246,7 @@ class PairDiploidDP:
         pad = np.zeros((Tp - Treal, 6), np.int32)
         pad[:, 3:5] = 1  # bin/bout 1: no div-by-zero on padded rows
         xs = np.concatenate([xs, pad]).astype(np.int32)
-        out = (put(xs), put(seg.w1), put(seg.symd))
+        out = (put(xs), put(w1t), put(syt))
         self._tb[idx] = out
         return out
 
@@ -1910,10 +2324,15 @@ class PairDiploidDP:
                 del bplist
             else:
                 xs, w1d, syd = self._ship_tb(idx, kind, seg)
-                fn = self._wide_jit(seg)
+                if kind == "w2":
+                    fn = self._wide_split_jit(seg)
+                    tbl_dev = dev[6]
+                else:
+                    fn = self._wide_jit(seg)
+                    tbl_dev = dev[7]
                 bp, _ = fn(*dev, v_ins[idx])
                 carry, recs = self._jits["trace_n"](
-                    self._bp256_dummy(), bp, dev[6], w1d, syd, xs, carry,
+                    self._bp256_dummy(), bp, tbl_dev, w1d, syd, xs, carry,
                 )
                 del bp
             rec_chunks.append((seg.t0, Treal, recs))
