@@ -81,16 +81,30 @@ _TBL_ROWS = 2
 # constant and silently zeroes the DP (this was round 3's "sink value
 # 0" bug). Round 4 used THREE bf16-exact 8-bit f32 planes; round 5
 # moved to the MXU's native s8 x s8 -> s32 mode (exact by
-# construction, no float converts, 2x the bf16 MAC rate): each 8-bit
-# plane is signed-biased into [-128, 127] (p' = p - 128) and the bias
-# is corrected after the dot — one-hot gather columns sum to exactly
-# 1, so the correction is the constant _I8_BIAS; the extract's
-# one-hot can have empty columns, so a ones row rides along to count
-# column hits and scale the correction. Compiled parity on real TPU
+# construction, no float converts, 2x the bf16 MAC rate), with the
+# digit encoding below. Compiled parity on real TPU
 # (scripts/tpu_parity_gate.py) gates any change here.
 import os as _os
 
-_I8_BIAS = 128 * (1 + 256 + 65536)  # signed-bias correction per column hit
+# Exactness now rides BALANCED base-256 digits: any nonnegative value
+# v < 2^31 decomposes as sum(d_i * 256^i) with d_i in [-128, 127]
+# (each digit fits s8 exactly; the s8 x s8 -> s32 dot is exact), and
+# — unlike biased digits — an EMPTY one-hot column recombines to 0
+# with no correction term, so the extract needs no ones-row/hit-count
+# machinery and its matmul is exactly 128 rows = one MXU row-tile.
+
+
+def _balanced_digits(jnp, v, n):
+    """n balanced base-256 s8 digit planes of v (>= 0), stacked on
+    axis 0. Exact: v == sum(d_i * 256^i)."""
+    ds = []
+    c = v
+    for _ in range(n - 1):
+        d = ((c + 128) & 255) - 128
+        ds.append(d)
+        c = (c - d) >> 8
+    ds.append(c)  # top digit: |c| < 128 by construction for v < 2^(8n-1)
+    return jnp.concatenate(ds, axis=0).astype(jnp.int8)
 REACH_T = -(2**18)  # values above this are reachable
 INVALID = -(2**30)  # packed-key / candidate sentinel
 PAD_SC = -(2**22)  # score of padded pair lanes (loses every max)
@@ -266,6 +280,31 @@ _BP_LADDER = (1, 4, 16, 64, 256, 1024, 4096, 16384, 65536)
 _NARROW_MAX_PAIRS = 1 << 15
 
 
+def _scan_class(dstl: np.ndarray, nch: int) -> np.ndarray:
+    """Per-256-lane-chunk scan-depth class from the longest run of
+    consecutive equal dst values among the REAL lanes: 0 (run <= 4,
+    2 scan stages), 1 (<= 16, 4 stages), 2 (any, 8 stages). On MHC
+    p50/p90 of the max run are 4/16, so most chunks skip 4-6 of the 8
+    segmented-max-scan stages (the scan was ~40% of the narrow kernel).
+    Padded lanes need no scanning (every pad is INVALID, and max over
+    equal values is depth-independent)."""
+    n = len(dstl)
+    cls = np.zeros(nch, np.int64)
+    if n == 0:
+        return cls
+    starts = np.flatnonzero(np.r_[True, dstl[1:] != dstl[:-1]]).astype(
+        np.int64
+    )
+    cb = np.arange(CHUNK, n, CHUNK, dtype=np.int64)
+    bounds = np.union1d(starts, cb)
+    lens = np.diff(np.r_[bounds, n])
+    mx = np.zeros(nch, np.int64)
+    np.maximum.at(mx, bounds // CHUNK, lens)
+    cls[mx > 4] = 1
+    cls[mx > 16] = 2
+    return cls
+
+
 def _ladder_fit(x: int, ladder) -> int:
     """Smallest ladder rung >= x; extends by doubling beyond the last
     rung so oversized instances plan (at the cost of a fresh compile)
@@ -432,7 +471,10 @@ def plan_pairs(
                 j += 1
             segments.append(_plan_wide_run(l, j, widths, pair_tables_g, R))
             l = j
-    if bound[0] * 256 + 255 >= (1 << 30):
+    # 4_100_000 (< 2^22 - 2^15): keeps both the packed int32 scan key
+    # (value*256 | slot < 2^30) AND the top balanced base-256 digit of
+    # the extract channel (voff*256 | slot < ~127.5 * 2^24) in range
+    if bound[0] > 4_100_000:
         raise ValueError(
             f"DP value bound {bound[0]} overflows the packed int32 key; "
             "use the chunked backend"
@@ -505,7 +547,7 @@ def _plan_narrow_run(t0, t1, widths, pair_tables, R):
 
         out1024 = Bout == 32
         bits = (1 if Bin == 32 else 0) | (2 if out1024 else 0) | 16
-        sbits[rows] = bits
+        sbits[rows] = bits | (_scan_class(dstl, nch) << 5).astype(np.int32)
         sbits[crow] |= 4
         sbits[crow + nch - 1] |= 8
         sbase[rows] = np.arange(nch, dtype=np.int32) * CHUNK
@@ -650,6 +692,7 @@ def _plan_wide_run(t0, t1, widths, pair_tables, R):
                 bits |= 1  # window-first: init Vnext window + bp block
             if ci == len(local) - 1:
                 bits |= 2  # commit Vnext -> Vnow
+            bits |= int(_scan_class(rel, 1)[0]) << 5  # scan depth class
             wbits[row] = bits | 4  # bit 4: real (ladder pads skip)
             wwin[row] = win
             wpmask[row] = pmask
@@ -701,6 +744,8 @@ def _plan_wide_run(t0, t1, widths, pair_tables, R):
         )
         seen = 0
         nch = ndch_per[ti]
+        dstg = (winv.astype(np.int64) << 10) | relv.astype(np.int64)
+        dcls = _scan_class(dstg, nch)
         for ci in range(nch):
             c0, c1 = ci * CHUNK, min((ci + 1) * CHUNK, n)
             m = c1 - c0
@@ -726,7 +771,9 @@ def _plan_wide_run(t0, t1, widths, pair_tables, R):
             dcmask[row] = cm
             dfmask[row] = cm & ~seen
             seen |= cm
-            dbits[row] = 4 | (2 if ci == nch - 1 else 0)
+            dbits[row] = (
+                4 | (2 if ci == nch - 1 else 0) | (int(dcls[ci]) << 5)
+            )
             dpmask[row] = pmask
             dtrans[row] = ti
             dwbase[row] = c0
@@ -775,11 +822,27 @@ def _plan_wide_run(t0, t1, widths, pair_tables, R):
 R1P = 32  # padded r rows (R + 1 <= 32)
 
 
+def _scan_stages(jnp, pltpu, kv, lane, segb, shifts):
+    """Segmented-max-scan stages over the packed key (shared by all
+    kernels; the caller guards deeper stages with pl.when on the
+    per-chunk scan class — see _scan_class)."""
+    for sh in shifts:
+        conn = (lane >= sh) & (segb == pltpu.roll(segb, sh, 1))
+        m = jnp.broadcast_to(conn, (R1P, CHUNK))
+        sv = pltpu.roll(kv, sh, 1)
+        kv = jnp.where(m & (sv > kv), sv, kv)
+    return kv
+
+
 def _narrow_kernel(R1: int, T_static: int):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    # timing ablation for perf work ONLY (results are WRONG with any
+    # value set): DIPGENIE_ABLATE in {gather, scan, extract}
+    _ablate = _os.environ.get("DIPGENIE_ABLATE", "")
 
     def kern(
         sbits_ref,
@@ -820,17 +883,11 @@ def _narrow_kernel(R1: int, T_static: int):
 
             # ---- gather: cand[r, p] = V[r, gidx[p]] — ONE s8 MXU
             # matmul over three signed-biased 8-bit planes of (V - NEG)
-            # (exact s8 x s8 -> s32; see _I8_BIAS comment) ----
+            # (exact s8 x s8 -> s32; see _balanced_digits) ----
             def plane_gather(Vblk, G8):
-                u = Vblk - NEG  # [R1P, W] in [0, 2^22)
-                st = jnp.concatenate(
-                    [
-                        (u & 255) - 128,
-                        ((u >> 8) & 255) - 128,
-                        (u >> 16) - 128,
-                    ],
-                    axis=0,
-                ).astype(jnp.int8)
+                # balanced base-256 digits of (V - NEG) in [0, 2^22):
+                # one-hot columns recombine exactly, no bias term
+                st = _balanced_digits(jnp, Vblk - NEG, 3)
                 g = jax.lax.dot_general(
                     st,
                     G8,
@@ -841,20 +898,26 @@ def _narrow_kernel(R1: int, T_static: int):
                     g[:R1P]
                     + (g[R1P : 2 * R1P] << 8)
                     + (g[2 * R1P :] << 16)
-                    + (_I8_BIAS + NEG)
+                    + NEG
                 )
 
-            @pl.when(jnp.logical_not(in1024))
-            def _():
-                rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-                G8 = (rows == gidx[None, :]).astype(jnp.int8)
-                cand[...] = plane_gather(V[:, :CHUNK], G8)
+            if _ablate != "gather":
 
-            @pl.when(in1024)
-            def _():
-                rows = jax.lax.broadcasted_iota(jnp.int32, (1024, CHUNK), 0)
-                G8 = (rows == gidx[None, :]).astype(jnp.int8)
-                cand[...] = plane_gather(V[...], G8)
+                @pl.when(jnp.logical_not(in1024))
+                def _():
+                    rows = jax.lax.broadcasted_iota(
+                        jnp.int32, (CHUNK, CHUNK), 0
+                    )
+                    G8 = (rows == gidx[None, :]).astype(jnp.int8)
+                    cand[...] = plane_gather(V[:, :CHUNK], G8)
+
+                @pl.when(in1024)
+                def _():
+                    rows = jax.lax.broadcasted_iota(
+                        jnp.int32, (1024, CHUNK), 0
+                    )
+                    G8 = (rows == gidx[None, :]).astype(jnp.int8)
+                    cand[...] = plane_gather(V[...], G8)
 
             g0 = cand[...]
             ri = jax.lax.broadcasted_iota(jnp.int32, (R1P, CHUNK), 0)
@@ -873,13 +936,25 @@ def _narrow_kernel(R1: int, T_static: int):
             )
 
             segb = dst[None, :]
-            s = 1
-            while s < CHUNK:
-                conn = (lane >= s) & (segb == pltpu.roll(segb, s, 1))
-                m = jnp.broadcast_to(conn, (R1P, CHUNK))
-                sv = pltpu.roll(kv, s, 1)
-                kv = jnp.where(m & (sv > kv), sv, kv)
-                s *= 2
+            scls = (bits >> 5) & 3
+            if _ablate != "scan":
+                # classed scan depth: stages 1-2 always; 4-8 when the
+                # chunk holds a dst run > 4; 16-128 only for runs > 16
+                cand[...] = _scan_stages(jnp, pltpu, kv, lane, segb, (1, 2))
+
+                @pl.when(scls >= 1)
+                def _():
+                    cand[...] = _scan_stages(
+                        jnp, pltpu, cand[...], lane, segb, (4, 8)
+                    )
+
+                @pl.when(scls >= 2)
+                def _():
+                    cand[...] = _scan_stages(
+                        jnp, pltpu, cand[...], lane, segb, (16, 32, 64, 128)
+                    )
+
+                kv = cand[...]
 
             vfin = jax.lax.shift_right_arithmetic(kv, 8)
             slot = (CHUNK - 1) - jnp.bitwise_and(kv, CHUNK - 1)
@@ -889,16 +964,7 @@ def _narrow_kernel(R1: int, T_static: int):
             # one-hot columns can be EMPTY (hole out lanes), so the
             # ones row counts column hits and scales the bias
             # correction (0 hits -> exr 0 -> invalid, as before)
-            stacked = jnp.concatenate(
-                [
-                    (voff & 255) - 128,
-                    ((voff >> 8) & 255) - 128,
-                    (voff >> 16) - 128,
-                    slot - 128,
-                    jnp.ones((1, CHUNK), jnp.int32),
-                ],
-                axis=0,
-            ).astype(jnp.int8)
+            stacked = _balanced_digits(jnp, (voff << 8) | slot, 4)
 
             base = sbase_ref[t]
             # extract one-hot from dst alone: pairs are dst-sorted within
@@ -910,6 +976,18 @@ def _narrow_kernel(R1: int, T_static: int):
             dstm = jnp.where(lastocc, segb, -2)  # [1, CHUNK]
 
             def extract_and_acc(OUT):
+                if _ablate == "extract":
+                    exv = jnp.full((R1P, OUT), jnp.int32(INVALID))
+                    exs = jnp.zeros((R1P, OUT), jnp.int32)
+                    av = accv[:, :OUT]
+                    take = exv > av
+                    nv = jnp.where(first, exv, jnp.where(take, exv, av))
+                    ns = jnp.where(
+                        first, exs, jnp.where(take, exs, accs[:, :OUT])
+                    )
+                    accv[:, :OUT] = nv
+                    accs[:, :OUT] = ns
+                    return nv, ns
                 # transposed one-hot Et[o, i] = (o == dst[i] - b*CHUNK),
                 # built per 256-out-lane block (Mosaic cannot reshape a
                 # [4, 256] vector into [1024]); contraction runs over
@@ -928,15 +1006,16 @@ def _narrow_kernel(R1: int, T_static: int):
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
-                hits = ex[4 * R1P : 4 * R1P + 1]  # [1, OUT] column hits
-                exr = (
+                exc = (
                     ex[:R1P]
                     + (ex[R1P : 2 * R1P] << 8)
                     + (ex[2 * R1P : 3 * R1P] << 16)
-                    + _I8_BIAS * hits
+                    + (ex[3 * R1P :] << 24)
                 )
-                exv = jnp.where(exr > 0, exr - OFF, jnp.int32(INVALID))
-                exs = ex[3 * R1P : 4 * R1P] + 128 * hits + base
+                # empty one-hot column -> exc 0; INVALID winner -> voff 0:
+                # both give exv = -OFF < REACH_T, never taken
+                exv = (exc >> 8) - OFF
+                exs = (exc & 255) + base
                 av = accv[:, :OUT]
                 take = exv > av
                 nv = jnp.where(first, exv, jnp.where(take, exv, av))
@@ -1088,9 +1167,9 @@ def _wide_split_kernel(NB: int, T_static: int):
             gidx = packed >> 13
 
             # ---- gather: block-masked one-hot s8 matmuls over src
-            # windows, accumulating three signed-biased 8-bit planes of
-            # (V - NEG); every lane's gidx hits exactly one window, so
-            # the bias correction stays the constant _I8_BIAS ----
+            # windows, accumulating three balanced base-256 digit
+            # planes of (V - NEG); every lane's gidx hits exactly one
+            # window, so the digit sums recombine exactly ----
             candf[...] = jnp.zeros((3 * R1P, CHUNK), jnp.int32)
             rows = jax.lax.broadcasted_iota(jnp.int32, (1024, CHUNK), 0)
             for b in range(NB):
@@ -1100,15 +1179,9 @@ def _wide_split_kernel(NB: int, T_static: int):
                     G8 = (rows == (gidx[None, :] - b * 1024)).astype(
                         jnp.int8
                     )
-                    u = Vnow[:, b * 1024 : (b + 1) * 1024] - NEG
-                    st = jnp.concatenate(
-                        [
-                            (u & 255) - 128,
-                            ((u >> 8) & 255) - 128,
-                            (u >> 16) - 128,
-                        ],
-                        axis=0,
-                    ).astype(jnp.int8)
+                    st = _balanced_digits(
+                        jnp, Vnow[:, b * 1024 : (b + 1) * 1024] - NEG, 3
+                    )
                     candf[...] += jax.lax.dot_general(
                         st,
                         G8,
@@ -1121,7 +1194,7 @@ def _wide_split_kernel(NB: int, T_static: int):
                 cf[:R1P]
                 + (cf[R1P : 2 * R1P] << 8)
                 + (cf[2 * R1P :] << 16)
-                + (_I8_BIAS + NEG)
+                + NEG
             )
             ri = jax.lax.broadcasted_iota(jnp.int32, (R1P, CHUNK), 0)
             g1 = jnp.where(ri >= 1, pltpu.roll(g0, 1, 0), NEG)
@@ -1137,28 +1210,29 @@ def _wide_split_kernel(NB: int, T_static: int):
                 (c + sc[None, :]) * CHUNK + slotc,
             )
             segb = dst[None, :]
-            s = 1
-            while s < CHUNK:
-                conn = (lane >= s) & (segb == pltpu.roll(segb, s, 1))
-                m = jnp.broadcast_to(conn, (R1P, CHUNK))
-                sv = pltpu.roll(kv, s, 1)
-                kv = jnp.where(m & (sv > kv), sv, kv)
-                s *= 2
+            scls = (bits >> 5) & 3
+            # stage through the candf scratch rows (gather already read)
+            candf[0:R1P, :] = _scan_stages(jnp, pltpu, kv, lane, segb, (1, 2))
+
+            @pl.when(scls >= 1)
+            def _():
+                candf[0:R1P, :] = _scan_stages(
+                    jnp, pltpu, candf[0:R1P, :], lane, segb, (4, 8)
+                )
+
+            @pl.when(scls >= 2)
+            def _():
+                candf[0:R1P, :] = _scan_stages(
+                    jnp, pltpu, candf[0:R1P, :], lane, segb, (16, 32, 64, 128)
+                )
+
+            kv = candf[0:R1P, :]
 
             vfin = jax.lax.shift_right_arithmetic(kv, 8)
             slot = (CHUNK - 1) - jnp.bitwise_and(kv, CHUNK - 1)
             OFF = jnp.int32(1 << 22)
             voff = vfin + OFF
-            stacked = jnp.concatenate(
-                [
-                    (voff & 255) - 128,
-                    ((voff >> 8) & 255) - 128,
-                    (voff >> 16) - 128,
-                    slot - 128,
-                    jnp.ones((1, CHUNK), jnp.int32),
-                ],
-                axis=0,
-            ).astype(jnp.int8)
+            stacked = _balanced_digits(jnp, (voff << 8) | slot, 4)
             # in-kernel extract one-hot (see narrow kernel): last
             # occurrence per dst within the chunk, transposed blocks
             lastocc = (lane == CHUNK - 1) | (segb != pltpu.roll(segb, CHUNK - 1, 1))
@@ -1177,15 +1251,16 @@ def _wide_split_kernel(NB: int, T_static: int):
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            hits = ex[4 * R1P : 4 * R1P + 1]  # [1, 1024] column hits
-            exr = (
+            exc = (
                 ex[:R1P]
                 + (ex[R1P : 2 * R1P] << 8)
                 + (ex[2 * R1P : 3 * R1P] << 16)
-                + _I8_BIAS * hits
+                + (ex[3 * R1P :] << 24)
             )
-            exv = jnp.where(exr > 0, exr - OFF, jnp.int32(INVALID))
-            exs = ex[3 * R1P : 4 * R1P] + 128 * hits + base
+            # empty one-hot column -> exc 0; INVALID winner -> voff 0:
+            # both give exv = -OFF < REACH_T, never taken
+            exv = (exc >> 8) - OFF
+            exs = (exc & 255) + base
 
             # ---- RMW into the destination window of Vnext + bp block ----
             for b in range(NB):
@@ -1350,15 +1425,9 @@ def _wide_dense_kernel(NB: int, T_static: int):
                     G8 = (rows == (gidx[None, :] - b * 1024)).astype(
                         jnp.int8
                     )
-                    u = Vnow[:, b * 1024 : (b + 1) * 1024] - NEG
-                    st = jnp.concatenate(
-                        [
-                            (u & 255) - 128,
-                            ((u >> 8) & 255) - 128,
-                            (u >> 16) - 128,
-                        ],
-                        axis=0,
-                    ).astype(jnp.int8)
+                    st = _balanced_digits(
+                        jnp, Vnow[:, b * 1024 : (b + 1) * 1024] - NEG, 3
+                    )
                     candf[...] += jax.lax.dot_general(
                         st,
                         G8,
@@ -1371,7 +1440,7 @@ def _wide_dense_kernel(NB: int, T_static: int):
                 cf[:R1P]
                 + (cf[R1P : 2 * R1P] << 8)
                 + (cf[2 * R1P :] << 16)
-                + (_I8_BIAS + NEG)
+                + NEG
             )
             ri = jax.lax.broadcasted_iota(jnp.int32, (R1P, CHUNK), 0)
             g1 = jnp.where(ri >= 1, pltpu.roll(g0, 1, 0), NEG)
@@ -1389,28 +1458,29 @@ def _wide_dense_kernel(NB: int, T_static: int):
             # scan segments on the GLOBAL dst lane (win<<10 | rel),
             # ascending within a chunk by the dst sort
             segb = ((winl << 10) | rel)[None, :]
-            s = 1
-            while s < CHUNK:
-                conn = (lane >= s) & (segb == pltpu.roll(segb, s, 1))
-                m = jnp.broadcast_to(conn, (R1P, CHUNK))
-                sv = pltpu.roll(kv, s, 1)
-                kv = jnp.where(m & (sv > kv), sv, kv)
-                s *= 2
+            scls = (bits >> 5) & 3
+            # stage through the candf scratch rows (gather already read)
+            candf[0:R1P, :] = _scan_stages(jnp, pltpu, kv, lane, segb, (1, 2))
+
+            @pl.when(scls >= 1)
+            def _():
+                candf[0:R1P, :] = _scan_stages(
+                    jnp, pltpu, candf[0:R1P, :], lane, segb, (4, 8)
+                )
+
+            @pl.when(scls >= 2)
+            def _():
+                candf[0:R1P, :] = _scan_stages(
+                    jnp, pltpu, candf[0:R1P, :], lane, segb, (16, 32, 64, 128)
+                )
+
+            kv = candf[0:R1P, :]
 
             vfin = jax.lax.shift_right_arithmetic(kv, 8)
             slot = (CHUNK - 1) - jnp.bitwise_and(kv, CHUNK - 1)
             OFF = jnp.int32(1 << 22)
             voff = vfin + OFF
-            stacked = jnp.concatenate(
-                [
-                    (voff & 255) - 128,
-                    ((voff >> 8) & 255) - 128,
-                    (voff >> 16) - 128,
-                    slot - 128,
-                    jnp.ones((1, CHUNK), jnp.int32),
-                ],
-                axis=0,
-            ).astype(jnp.int8)
+            stacked = _balanced_digits(jnp, (voff << 8) | slot, 4)
             # last occurrence per dst; dense pads are all-zero rowA
             # (dstg 0 == a REAL lane of window 0), so they must be
             # excluded explicitly via the PAD_SC score marker — a pad
@@ -1443,15 +1513,16 @@ def _wide_dense_kernel(NB: int, T_static: int):
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.int32,
                     )
-                    hits = ex[4 * R1P : 4 * R1P + 1]
-                    exr = (
+                    exc = (
                         ex[:R1P]
                         + (ex[R1P : 2 * R1P] << 8)
                         + (ex[2 * R1P : 3 * R1P] << 16)
-                        + _I8_BIAS * hits
+                        + (ex[3 * R1P :] << 24)
                     )
-                    exv = jnp.where(exr > 0, exr - OFF, jnp.int32(INVALID))
-                    exs = ex[3 * R1P : 4 * R1P] + 128 * hits + base
+                    # empty one-hot column -> exc 0; INVALID winner -> voff 0:
+                    # both give exv = -OFF < REACH_T, never taken
+                    exv = (exc >> 8) - OFF
+                    exs = (exc & 255) + base
                     first = ((fmask >> b) & 1) != 0
                     sl = slice(b * 1024, (b + 1) * 1024)
                     old = jnp.where(first, jnp.int32(NEG), Vnext[:, sl])
@@ -1617,15 +1688,9 @@ def _wide_step_kernel(NB: int, C: int):
                     G8 = (rows == (gidx[None, :] - b * 1024)).astype(
                         jnp.int8
                     )
-                    u = vnow_ref[:, b * 1024 : (b + 1) * 1024] - NEG
-                    st = jnp.concatenate(
-                        [
-                            (u & 255) - 128,
-                            ((u >> 8) & 255) - 128,
-                            (u >> 16) - 128,
-                        ],
-                        axis=0,
-                    ).astype(jnp.int8)
+                    st = _balanced_digits(
+                        jnp, vnow_ref[:, b * 1024 : (b + 1) * 1024] - NEG, 3
+                    )
                     candf[...] += jax.lax.dot_general(
                         st,
                         G8,
@@ -1638,7 +1703,7 @@ def _wide_step_kernel(NB: int, C: int):
                 cf[:R1P]
                 + (cf[R1P : 2 * R1P] << 8)
                 + (cf[2 * R1P :] << 16)
-                + (_I8_BIAS + NEG)
+                + NEG
             )
             ri = jax.lax.broadcasted_iota(jnp.int32, (R1P, CHUNK), 0)
             g1 = jnp.where(ri >= 1, pltpu.roll(g0, 1, 0), NEG)
@@ -1654,28 +1719,29 @@ def _wide_step_kernel(NB: int, C: int):
                 (c + sc[None, :]) * CHUNK + slotc,
             )
             segb = dst[None, :]
-            s = 1
-            while s < CHUNK:
-                conn = (lane >= s) & (segb == pltpu.roll(segb, s, 1))
-                m = jnp.broadcast_to(conn, (R1P, CHUNK))
-                sv = pltpu.roll(kv, s, 1)
-                kv = jnp.where(m & (sv > kv), sv, kv)
-                s *= 2
+            scls = (bits >> 5) & 3
+            # stage through the candf scratch rows (gather already read)
+            candf[0:R1P, :] = _scan_stages(jnp, pltpu, kv, lane, segb, (1, 2))
+
+            @pl.when(scls >= 1)
+            def _():
+                candf[0:R1P, :] = _scan_stages(
+                    jnp, pltpu, candf[0:R1P, :], lane, segb, (4, 8)
+                )
+
+            @pl.when(scls >= 2)
+            def _():
+                candf[0:R1P, :] = _scan_stages(
+                    jnp, pltpu, candf[0:R1P, :], lane, segb, (16, 32, 64, 128)
+                )
+
+            kv = candf[0:R1P, :]
 
             vfin = jax.lax.shift_right_arithmetic(kv, 8)
             slot = (CHUNK - 1) - jnp.bitwise_and(kv, CHUNK - 1)
             OFF = jnp.int32(1 << 22)
             voff = vfin + OFF
-            stacked = jnp.concatenate(
-                [
-                    (voff & 255) - 128,
-                    ((voff >> 8) & 255) - 128,
-                    (voff >> 16) - 128,
-                    slot - 128,
-                    jnp.ones((1, CHUNK), jnp.int32),
-                ],
-                axis=0,
-            ).astype(jnp.int8)
+            stacked = _balanced_digits(jnp, (voff << 8) | slot, 4)
             lastocc = (lane == CHUNK - 1) | (
                 segb != pltpu.roll(segb, CHUNK - 1, 1)
             )
@@ -1694,15 +1760,16 @@ def _wide_step_kernel(NB: int, C: int):
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            hits = ex[4 * R1P : 4 * R1P + 1]  # [1, 1024] column hits
-            exr = (
+            exc = (
                 ex[:R1P]
                 + (ex[R1P : 2 * R1P] << 8)
                 + (ex[2 * R1P : 3 * R1P] << 16)
-                + _I8_BIAS * hits
+                + (ex[3 * R1P :] << 24)
             )
-            exv = jnp.where(exr > 0, exr - OFF, jnp.int32(INVALID))
-            exs = ex[3 * R1P : 4 * R1P] + 128 * hits + base
+            # empty one-hot column -> exc 0; INVALID winner -> voff 0:
+            # both give exv = -OFF < REACH_T, never taken
+            exv = (exc >> 8) - OFF
+            exs = (exc & 255) + base
 
             # RMW into the owned destination window of the partials
             # (chunks of one window are consecutive in plan order on
@@ -1786,7 +1853,8 @@ def _shard_wide_tables(seg: _WideRun, n_tp: int):
         tbl[:, :, 1] = PAD_SC
         for d, rws in enumerate(perdev):
             for ci, rrow in enumerate(rws):
-                sbits[d, ci] = 4  # real
+                # bit 2: real; bits 5-6: scan depth class
+                sbits[d, ci] = 4 | (int(seg.wbits[rrow]) & (3 << 5))
                 swin[d, ci] = seg.wwin[rrow]
                 sbase[d, ci] = seg.wbase[rrow]
                 sgmask[d, ci] = seg.wgmask[rrow]
