@@ -66,6 +66,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--sketch-backend", type=str, default="host",
                     choices=["host", "device"])
     ap.add_argument("--progress", action="store_true")
+    ap.add_argument("--checkpoint-dir", type=str, default="",
+                    help="Resume the anchor stage from DIR on rerun")
     return ap
 
 
@@ -124,6 +126,7 @@ def main(argv: list[str] | None = None) -> int:
             recombination_penalty=args.P, ploidy=args.p, threshold=args.T,
             num_threads=args.t, debug=bool(args.d), progress=args.progress,
             dp_backend=args.dp_backend, sketch_backend=args.sketch_backend,
+            checkpoint_dir=args.checkpoint_dir or None,
         )
         Pipeline(args.g, args.r, args.o, cfg).run()
 

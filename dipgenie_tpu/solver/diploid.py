@@ -285,9 +285,14 @@ def diploid_dp_solver(
         import jax as _jax
 
         from ..ops.diploid_pallas import PairDiploidDP, plan_pairs
+        from ..utils.timing import log_stage
 
         try:
+            _t0 = time.time()
             plan = plan_pairs(*csr_arrays(g, color_homo_bv), R)
+            log_stage(
+                "diploid_dp", f"pair plan built in {time.time()-_t0:.1f}s"
+            )
         except ValueError as e:
             # R > 31 or packed-key value bound exceeded: the chunked jax
             # tier has no such limits — fall back loudly.
@@ -306,9 +311,15 @@ def diploid_dp_solver(
             # Mosaic only compiles on TPU; elsewhere (CPU CI) interpret
             interp = _jax.default_backend() != "tpu"
             try:
+                _t0 = time.time()
                 sink_val, sink_shet, transitions = PairDiploidDP(
                     plan, interpret=interp, mesh=mesh
                 ).run(verbose=progress)
+                log_stage(
+                    "diploid_dp",
+                    "device ship+compile+forward+traceback in "
+                    f"{time.time()-_t0:.1f}s",
+                )
             except Exception as e:  # noqa: BLE001
                 # the pipeline auto-routes every TPU session here, so a
                 # Mosaic lowering/compile or runtime failure must fall

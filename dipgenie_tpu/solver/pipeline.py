@@ -53,6 +53,9 @@ class PipelineConfig:
     # optional jax.sharding.Mesh ("dp" x "tp"): reads shard over dp for
     # device sketching; the diploid DP state tiles over tp (SURVEY §7.6)
     mesh: object = None
+    # optional checkpoint directory: the anchor stage (sketch + join +
+    # classify) resumes from disk on rerun (utils/checkpoint.py)
+    checkpoint_dir: str | None = None
 
 
 class Pipeline:
@@ -76,11 +79,32 @@ class Pipeline:
         cfg = self.cfg
         if self.index is None:
             self.load()
-        reads = read_fastx(self.reads_file)
-        self.anchors = compute_and_classify_anchors(
-            self.index, reads, cfg.k, cfg.w, cfg.threshold, verbose=cfg.verbose,
-            sketch_backend=cfg.sketch_backend, mesh=cfg.mesh,
-        )
+        ck_key = None
+        anchors = None
+        if cfg.checkpoint_dir:
+            from ..utils import checkpoint as _ckpt
+
+            ck_key = _ckpt.anchors_key(
+                self.gfa_file, self.reads_file, cfg.k, cfg.w, cfg.threshold
+            )
+            anchors = _ckpt.load_anchors(cfg.checkpoint_dir, ck_key)
+            if anchors is not None and cfg.verbose:
+                log_stage(
+                    "main",
+                    f"Resumed anchors from checkpoint {ck_key}",
+                )
+        if anchors is None:
+            reads = read_fastx(self.reads_file)
+            anchors = compute_and_classify_anchors(
+                self.index, reads, cfg.k, cfg.w, cfg.threshold,
+                verbose=cfg.verbose,
+                sketch_backend=cfg.sketch_backend, mesh=cfg.mesh,
+            )
+            if ck_key is not None:
+                from ..utils import checkpoint as _ckpt
+
+                _ckpt.save_anchors(cfg.checkpoint_dir, ck_key, anchors)
+        self.anchors = anchors
         self.solve(diploid=(cfg.ploidy == 2), out=out)
 
     def solve(self, diploid: bool, out=sys.stdout) -> None:
