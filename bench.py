@@ -35,7 +35,6 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import pickle
 import sys
 import time
 
@@ -182,24 +181,6 @@ def synthetic_csr(L=20000, seed=0):
     ]
 
 
-def _plan_cache_path(arrs, R: int) -> str:
-    """Deterministic on-disk cache key for the pair plan. FULL array
-    bytes are hashed (a first/last-1MB sample could alias workloads
-    differing only in the middle; sha1 over ~100 MB is cheap next to a
-    multi-second plan) and the pickle lives in a user-owned dir."""
-    from dipgenie_tpu.ops.diploid_pallas import PLAN_FORMAT
-
-    h = hashlib.sha1()
-    h.update(f"fmt{PLAN_FORMAT}-R{R}".encode())
-    for a in arrs:
-        a = np.ascontiguousarray(a)
-        h.update(str(a.shape).encode())
-        h.update(str(a.dtype).encode())
-        h.update(a.tobytes())
-    os.makedirs(CACHE_DIR, exist_ok=True)
-    return os.path.join(CACHE_DIR, f"pair_plan_{h.hexdigest()[:16]}.pkl")
-
-
 def run_canary(arrs, R: int):
     """Same-session native C++ DP timing: detects host slowdowns so
     vs_baseline_live compares against a live-scaled baseline instead of
@@ -219,20 +200,14 @@ def run_canary(arrs, R: int):
 
 
 def measure_pallas(arrs, R: int, passes: int):
-    from dipgenie_tpu.ops.diploid_pallas import PairDiploidDP, plan_pairs
+    from dipgenie_tpu.ops.diploid_pallas import (
+        PairDiploidDP, plan_pairs_cached,
+    )
 
-    pkl = _plan_cache_path(arrs, R)
     t0 = time.time()
-    if os.path.exists(pkl):
-        with open(pkl, "rb") as fh:
-            plan = pickle.load(fh)
-        log(f"plan: {time.time()-t0:.1f}s (cached {pkl})")
-    else:
-        plan = plan_pairs(*arrs, R)
-        with open(pkl, "wb") as fh:
-            pickle.dump(plan, fh, protocol=4)
-        log(f"plan: {time.time()-t0:.1f}s (fresh)")
+    plan = plan_pairs_cached(arrs, R, cache_dir=CACHE_DIR)
     plan_s = time.time() - t0
+    log(f"plan: {plan_s:.1f}s (content-keyed cache: {CACHE_DIR})")
     dp = PairDiploidDP(plan, interpret=False)
     t0 = time.time()
     dp._ship()

@@ -1958,6 +1958,55 @@ def _enable_compile_cache():
         pass
 
 
+def plan_pairs_cached(arrs, R: int, cache_dir: str | None = None):
+    """plan_pairs with a content-keyed on-disk pickle cache.
+
+    The key hashes the FULL CSR bytes + PLAN_FORMAT + R, so a changed
+    workload or plan layout can never reuse a stale plan; the pickle
+    lives in a user-owned directory (default ~/.cache/dipgenie_tpu,
+    override DIPGENIE_CACHE_DIR; pass cache_dir="" to disable). Planning
+    MHC costs ~9 s cold (native planner) — the cache makes every later
+    process start warm, like the persistent XLA compile cache."""
+    import hashlib
+    import pickle
+
+    if cache_dir is None:
+        cache_dir = _os.environ.get(
+            "DIPGENIE_CACHE_DIR",
+            _os.path.join(
+                _os.path.expanduser("~"), ".cache", "dipgenie_tpu"
+            ),
+        )
+    if not cache_dir:
+        return plan_pairs(*arrs, R)
+    h = hashlib.sha1()
+    h.update(f"fmt{PLAN_FORMAT}-R{R}".encode())
+    for a in arrs:
+        a = np.ascontiguousarray(a)
+        h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
+        h.update(a.tobytes())
+    path = _os.path.join(cache_dir, f"pair_plan_{h.hexdigest()[:16]}.pkl")
+    if _os.path.exists(path):
+        try:
+            with open(path, "rb") as fh:
+                plan = pickle.load(fh)
+            if isinstance(plan, PairPlan) and plan.R == R:
+                return plan
+        except Exception:
+            pass  # corrupt cache: replan
+    plan = plan_pairs(*arrs, R)
+    try:
+        _os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + f".tmp{_os.getpid()}"
+        with open(tmp, "wb") as fh:
+            pickle.dump(plan, fh, protocol=4)
+        _os.replace(tmp, path)
+    except Exception:
+        pass  # cache write failure is non-fatal
+    return plan
+
+
 class PairDiploidDP:
     """Pallas narrow runs + Pallas wide runs; single value fetch at the
     end of the forward pass.

@@ -284,14 +284,14 @@ def diploid_dp_solver(
     elif backend == "pallas":
         import jax as _jax
 
-        from ..ops.diploid_pallas import PairDiploidDP, plan_pairs
+        from ..ops.diploid_pallas import PairDiploidDP, plan_pairs_cached
         from ..utils.timing import log_stage
 
         try:
             _t0 = time.time()
-            plan = plan_pairs(*csr_arrays(g, color_homo_bv), R)
+            plan = plan_pairs_cached(csr_arrays(g, color_homo_bv), R)
             log_stage(
-                "diploid_dp", f"pair plan built in {time.time()-_t0:.1f}s"
+                "diploid_dp", f"pair plan ready in {time.time()-_t0:.1f}s"
             )
         except ValueError as e:
             # R > 31 or packed-key value bound exceeded: the chunked jax
