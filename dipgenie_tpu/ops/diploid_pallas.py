@@ -819,7 +819,13 @@ def _plan_wide_run(t0, t1, widths, pair_tables, R):
 # narrow Pallas kernel
 # --------------------------------------------------------------------
 
-R1P = 32  # padded r rows (R + 1 <= 32)
+def _r1p(R1: int) -> int:
+    """Padded r-row count of the kernel state/bp blocks. 24 rows (3
+    sublane tiles) for the common R <= 23 cuts every row-proportional
+    VPU op — digit builds, rolls, selects, scan stages, recombines —
+    by 25% vs the round-4 fixed 32 while keeping the same kernel
+    structure; R up to 31 falls back to 32 rows."""
+    return 24 if R1 <= 24 else 32
 
 
 def _scan_stages(jnp, pltpu, kv, lane, segb, shifts):
@@ -828,7 +834,7 @@ def _scan_stages(jnp, pltpu, kv, lane, segb, shifts):
     per-chunk scan class — see _scan_class)."""
     for sh in shifts:
         conn = (lane >= sh) & (segb == pltpu.roll(segb, sh, 1))
-        m = jnp.broadcast_to(conn, (R1P, CHUNK))
+        m = jnp.broadcast_to(conn, (kv.shape[0], CHUNK))
         sv = pltpu.roll(kv, sh, 1)
         kv = jnp.where(m & (sv > kv), sv, kv)
     return kv
@@ -839,6 +845,8 @@ def _narrow_kernel(R1: int, T_static: int):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    R1P = _r1p(R1)
 
     # timing ablation for perf work ONLY (results are WRONG with any
     # value set): DIPGENIE_ABLATE in {gather, scan, extract}
@@ -1060,6 +1068,7 @@ def _narrow_call(seg: _NarrowRun, R1: int, interpret: bool = False):
     from jax.experimental.pallas import tpu as pltpu
 
     T = len(seg.sbits)
+    R1P = _r1p(R1)
     kern = _narrow_kernel(R1, len(seg.sbits))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -1113,7 +1122,7 @@ def _narrow_call(seg: _NarrowRun, R1: int, interpret: bool = False):
 
 _DENSE_NB_MAX = 18
 
-def _wide_split_kernel(NB: int, T_static: int):
+def _wide_split_kernel(NB: int, T_static: int, R1: int):
     """Wide-run kernel: V in a [R1P, NB*1024] double-buffered VMEM
     scratch; one 256-pair chunk per grid step. All window addressing is
     static-branch (pl.when on prefetched scalars) — no dynamic lane
@@ -1122,6 +1131,8 @@ def _wide_split_kernel(NB: int, T_static: int):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    R1P = _r1p(R1)
 
     def kern(
         wbits_ref,
@@ -1314,7 +1325,8 @@ def _wide_split_call(seg: _WideRun, R1: int, interpret: bool = False):
 
     T = len(seg.wbits)
     NB = seg.NB
-    kern = _wide_split_kernel(NB, T)
+    R1P = _r1p(R1)
+    kern = _wide_split_kernel(NB, T, R1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(T,),
@@ -1355,7 +1367,7 @@ def _wide_split_call(seg: _WideRun, R1: int, interpret: bool = False):
 # --------------------------------------------------------------------
 
 
-def _wide_dense_kernel(NB: int, T_static: int):
+def _wide_dense_kernel(NB: int, T_static: int, R1: int):
     """Wide-run kernel over DENSE 256-pair chunks: V in a
     [R1P, NB*1024] double-buffered VMEM scratch; a chunk may span
     several 1024-lane destination windows (dcmask bits), each extracted
@@ -1368,6 +1380,8 @@ def _wide_dense_kernel(NB: int, T_static: int):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    R1P = _r1p(R1)
 
     def kern(
         dbits_ref,
@@ -1558,7 +1572,8 @@ def _wide_call(seg: _WideRun, R1: int, interpret: bool = False):
 
     T = len(seg.dbits)
     NB = seg.NB
-    kern = _wide_dense_kernel(NB, T)
+    R1P = _r1p(R1)
+    kern = _wide_dense_kernel(NB, T, R1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(T,),
@@ -1636,7 +1651,7 @@ def _wide_call(seg: _WideRun, R1: int, interpret: bool = False):
 _STEP_LADDER = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
 
 
-def _wide_step_kernel(NB: int, C: int):
+def _wide_step_kernel(NB: int, C: int, R1: int):
     """One wide TRANSITION on one device's chunk subset: grid over C
     chunks, explicit NEG/-1 init of the [R1P, NB*1024] partial outputs
     (no undefined scratch can escape), RMW with strict > per chunk."""
@@ -1644,6 +1659,8 @@ def _wide_step_kernel(NB: int, C: int):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    R1P = _r1p(R1)
 
     def kern(
         sbits_ref,
@@ -1789,13 +1806,14 @@ def _wide_step_kernel(NB: int, C: int):
     return kern
 
 
-def _wide_step_call(NB: int, C: int, interpret: bool = False):
+def _wide_step_call(NB: int, C: int, R1: int, interpret: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kern = _wide_step_kernel(NB, C)
+    R1P = _r1p(R1)
+    kern = _wide_step_kernel(NB, C, R1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(C,),
@@ -2026,6 +2044,7 @@ class PairDiploidDP:
     def __init__(self, plan: PairPlan, interpret: bool = False, mesh=None):
         self.plan = plan
         self.R = plan.R
+        self.R1P = _r1p(plan.R + 1)
         self.interpret = interpret
         self.mesh = mesh
         self.n_tp = int(mesh.shape["tp"]) if mesh is not None else 0
@@ -2172,7 +2191,7 @@ class PairDiploidDP:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
-            call = _wide_step_call(NB, C, self.interpret)
+            call = _wide_step_call(NB, C, self.R + 1, self.interpret)
 
             def local(sbits, swin, sbase, sgmask, tbl, present, V):
                 vp, bpp = call(
@@ -2208,7 +2227,7 @@ class PairDiploidDP:
             Vw = jnp.concatenate(
                 [
                     V1024,
-                    jnp.full((R1P, (NB - 1) * 1024), NEG, jnp.int32),
+                    jnp.full((self.R1P, (NB - 1) * 1024), NEG, jnp.int32),
                 ],
                 axis=1,
             )
@@ -2252,7 +2271,7 @@ class PairDiploidDP:
         return self._jits[key]
 
     def _initial(self):
-        V0 = np.full((R1P, 1024), NEG, np.int32)
+        V0 = np.full((self.R1P, 1024), NEG, np.int32)
         V0[:, 0] = 0
         return self._put_rep(V0)
 
@@ -2372,7 +2391,9 @@ class PairDiploidDP:
         import jax
 
         if not hasattr(self, "_bpd"):
-            self._bpd = self._put_rep(np.zeros((1, R1P, CHUNK), np.int16))
+            self._bpd = self._put_rep(
+                np.zeros((1, self.R1P, CHUNK), np.int16)
+            )
         return self._bpd
 
     # ---------------- full run ----------------
