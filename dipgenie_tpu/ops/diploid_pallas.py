@@ -2168,6 +2168,17 @@ class PairDiploidDP:
             check_vma=False,
         )
 
+    def _narrow_raw(self, seg):
+        key = (
+            "nraw",
+            len(seg.sbits),
+            _ladder_fit(seg.n256, _BP_LADDER),
+            _ladder_fit(seg.n1024, _BP_LADDER),
+        )
+        if key not in self._jits:
+            self._jits[key] = _narrow_call(seg, self.R + 1, self.interpret)
+        return self._jits[key]
+
     def _narrow_jit(self, seg):
         import jax
 
@@ -2178,7 +2189,7 @@ class PairDiploidDP:
             _ladder_fit(seg.n1024, _BP_LADDER),
         )
         if key not in self._jits:
-            call = _narrow_call(seg, self.R + 1, self.interpret)
+            call = self._narrow_raw(seg)
             self._jits[key] = jax.jit(self._wrap_mesh(call, 6, 3))
         return self._jits[key]
 
@@ -2240,6 +2251,17 @@ class PairDiploidDP:
             bps.append(bpm if keep_bp else None)
         return Vw[:, :1024], bps
 
+    def _wide_raw(self, seg):
+        key = (
+            "wraw",
+            len(seg.dbits),
+            seg.NB,
+            _ladder_fit(seg.t1 - seg.t0, _BP_LADDER),
+        )
+        if key not in self._jits:
+            self._jits[key] = _wide_call(seg, self.R + 1, self.interpret)
+        return self._jits[key]
+
     def _wide_jit(self, seg):
         import jax
 
@@ -2250,8 +2272,19 @@ class PairDiploidDP:
             _ladder_fit(seg.t1 - seg.t0, _BP_LADDER),
         )
         if key not in self._jits:
-            self._jits[key] = jax.jit(
-                _wide_call(seg, self.R + 1, self.interpret)
+            self._jits[key] = jax.jit(self._wide_raw(seg))
+        return self._jits[key]
+
+    def _wide_split_raw(self, seg):
+        key = (
+            "w2raw",
+            len(seg.wbits),
+            seg.NB,
+            _ladder_fit(seg.nrows, _BP_LADDER),
+        )
+        if key not in self._jits:
+            self._jits[key] = _wide_split_call(
+                seg, self.R + 1, self.interpret
             )
         return self._jits[key]
 
@@ -2265,10 +2298,72 @@ class PairDiploidDP:
             _ladder_fit(seg.nrows, _BP_LADDER),
         )
         if key not in self._jits:
-            self._jits[key] = jax.jit(
-                _wide_split_call(seg, self.R + 1, self.interpret)
-            )
+            self._jits[key] = jax.jit(self._wide_split_raw(seg))
         return self._jits[key]
+
+    # ---------------- fused group dispatch ----------------
+    # One host dispatch per ~GROUP segments instead of one per segment:
+    # the per-pass host cost falls from ~673 sequential launches (which
+    # dominate the wall on slow/contended hosts — the device idles
+    # between launches) to ~11, and XLA overlaps the per-kernel setup
+    # inside each group program. The persistent compile cache makes the
+    # group programs' first build a once-per-plan cost.
+
+    def _fused_groups(self):
+        group = int(_os.environ.get("DIPGENIE_FUSE_GROUP", "64"))
+        shipped = self._ship()
+        groups, cur = [], []
+        for i, (kind, _seg, _dev) in enumerate(shipped):
+            if kind == "ws":  # sharded: per-transition pmax dispatch
+                if cur:
+                    groups.append(("f", cur))
+                    cur = []
+                groups.append(("ws", [i]))
+            else:
+                cur.append(i)
+                if len(cur) >= group:
+                    groups.append(("f", cur))
+                    cur = []
+        if cur:
+            groups.append(("f", cur))
+        return groups
+
+    def _group_jit(self, idxs):
+        import jax
+
+        key = ("grp", tuple(idxs))
+        if key in self._jits:
+            return self._jits[key]
+        shipped = self._ship()
+        metas = [(shipped[i][0], shipped[i][1]) for i in idxs]
+
+        def fn(args_list, V):
+            for (kind, seg), dev in zip(metas, args_list):
+                if kind == "n":
+                    _, _, V = self._narrow_raw(seg)(*dev, V)
+                elif kind == "w2":
+                    _, V = self._wide_split_raw(seg)(*dev, V)
+                else:
+                    _, V = self._wide_raw(seg)(*dev, V)
+            return V
+
+        self._jits[key] = jax.jit(fn)
+        return self._jits[key]
+
+    def _forward_fused(self):
+        """keep_bp-free forward with grouped dispatch; falls back to the
+        per-segment path via the caller on any failure."""
+        shipped = self._ship()
+        V = self._initial()
+        for gkind, idxs in self._fused_groups():
+            if gkind == "ws":
+                _, seg, dev = shipped[idxs[0]]
+                V, _ = self._run_wide_sharded(seg, dev, V, False)
+            else:
+                V = self._group_jit(tuple(idxs))(
+                    [shipped[i][2] for i in idxs], V
+                )
+        return V
 
     def _initial(self):
         V0 = np.full((self.R1P, 1024), NEG, np.int32)
@@ -2317,9 +2412,23 @@ class PairDiploidDP:
         returns ([wall_0..wall_{n-1}], sink_value)."""
         import time as _time
 
+        fuse = _os.environ.get("DIPGENIE_FUSE", "1") != "0"
+        if fuse:
+            try:  # build/compile the group programs outside the timing
+                self._forward_fused()
+            except Exception as e:  # pragma: no cover - backend-specific
+                print(
+                    "[diploid_dp] fused dispatch unavailable "
+                    f"({type(e).__name__}: {e}); per-segment fallback"
+                )
+                fuse = False
+
         def one():
             t0 = _time.time()
-            V, _ = self._forward(keep_bp=False)
+            if fuse:
+                V = self._forward_fused()
+            else:
+                V, _ = self._forward(keep_bp=False)
             v = int(np.asarray(V)[self.R, 0])
             return _time.time() - t0, v
 

@@ -307,3 +307,26 @@ def test_pallas_fallback_on_large_R(tmp_path):
     )
     Pipeline(gfa, reads, str(out), cfg).run(out=io.StringIO())
     assert out.read_text() == TOY_DIP_GOLDEN
+
+
+@pytest.mark.parametrize(
+    "seed,L,kmax,R,nc",
+    [(201, 16, 16, 5, 10), (401, 10, 40, 4, 8), (500, 14, 36, 6, 9)],
+)
+def test_pallas_fused_forward_matches_exact(seed, L, kmax, R, nc, monkeypatch):
+    """The grouped-dispatch forward (one jit per segment group) must
+    produce the same sink value as the exact tier, including across
+    group boundaries (group size 2 forces several groups)."""
+    monkeypatch.setenv("DIPGENIE_FUSE_GROUP", "2")
+    rng = np.random.default_rng(seed)
+    g = _random_leveled_graph(rng, L=L, kmax=kmax, ncolors=nc)
+    chb = [bool(x) for x in rng.random(nc) < 0.4]
+    Hm, Tm = build_color_masks(g, chb)
+    ev, _, _ = _forward_exact(g, R, Hm, Tm)
+    plan = plan_pairs(*csr_arrays(g, chb), R)
+    drv = PairDiploidDP(plan, interpret=True)
+    V = drv._forward_fused()
+    assert int(np.asarray(V)[R, 0]) == ev
+    # and the measure path (which prefers the fused forward) agrees
+    walls, v = drv.measure_passes(passes=1)
+    assert v == ev and len(walls) == 1
