@@ -60,7 +60,7 @@ import numpy as np
 NEG = -(2**19)  # unreachable sentinel, re-pinned every level
 
 # bump when plan layout/ladders change (invalidates on-disk plan caches)
-PLAN_FORMAT = 7
+PLAN_FORMAT = 8  # 8: flat narrow pair layouts (i*k+j, 256..1024 extents)
 
 # packed chunk-table layout (PLAN_FORMAT 6): tbl is [nchunks, 2, CHUNK]
 #   row 0: gidx << 13 | (dst + 1) << 2 | wsum   (gidx < 2^15 = NB_max*1024
@@ -250,11 +250,25 @@ class PairPlan:
     L: int
     segments: list  # _NarrowRun | _WideRun, in level order
     max_abs_value: int  # packed-key overflow guard evidence
+    # content fingerprint (set by plan_pairs_cached): keys the on-disk
+    # AOT executable cache; None disables it (ad-hoc test plans)
+    fingerprint: str | None = None
 
 
 def _layout(width: int) -> int:
-    """Pair-layout divisor of a narrow level."""
-    return 16 if width <= 16 else 32
+    """Pair-layout divisor of a narrow level: FLAT (i * width + j).
+    Flat layouts (PLAN_FORMAT 8) shrink the padded pair extent of a
+    width-k level from the power-of-two 256/1024 to ceil(k^2/256)*256
+    (256/512/768/1024): a width-20 level costs a 512-lane gather
+    one-hot and a 2-block extract instead of 1024/4 — the one-hot
+    builds are the narrow kernel's VPU ceiling (BENCH_NOTES roofline).
+    """
+    return width
+
+
+def _ext(width: int) -> int:
+    """Padded pair-lane extent of a flat-layout level (1..4 blocks)."""
+    return max(1, -(-(width * width) // CHUNK))
 
 
 def _pad_up(x: int, m: int) -> int:
@@ -545,8 +559,12 @@ def _plan_narrow_run(t0, t1, widths, pair_tables, R):
         sbuf[:n] = symd
         syma[rows] = sbuf.reshape(nch, CHUNK)
 
-        out1024 = Bout == 32
-        bits = (1 if Bin == 32 else 0) | (2 if out1024 else 0) | 16
+        # bits: 0-1 src extent class - 1, 2 first, 3 last, 4 real,
+        # 5-6 scan class, 7-8 dst extent class - 1
+        sext = _ext(Bin)
+        dext = _ext(Bout)
+        out1024 = dext > 1  # bp block class (int16 256- vs 1024-wide)
+        bits = (sext - 1) | ((dext - 1) << 7) | 16
         sbits[rows] = bits | (_scan_class(dstl, nch) << 5).astype(np.int32)
         sbits[crow] |= 4
         sbits[crow + nch - 1] |= 8
@@ -870,8 +888,8 @@ def _narrow_kernel(R1: int, T_static: int):
         t = pl.program_id(0)
         T = T_static
         bits = sbits_ref[t]
-        in1024 = (bits & 1) != 0
-        out1024 = (bits & 2) != 0
+        scls_src = bits & 3  # src extent class - 1 (flat layouts)
+        dcls = (bits >> 7) & 3  # dst extent class - 1
         first = (bits & 4) != 0
         last = (bits & 8) != 0
         real = (bits & 16) != 0  # ladder-padded chunks skip all compute
@@ -880,7 +898,7 @@ def _narrow_kernel(R1: int, T_static: int):
         def _():
             V[...] = vinit_ref[...]
 
-        @pl.when(real)
+        @pl.when(real & (_ablate != "all"))
         def _():
             tbl = tbl_ref[0]  # [2, CHUNK] packed (see _TBL_ROWS)
             packed = tbl[0]
@@ -910,22 +928,16 @@ def _narrow_kernel(R1: int, T_static: int):
                 )
 
             if _ablate != "gather":
+                for E in range(4):
 
-                @pl.when(jnp.logical_not(in1024))
-                def _():
-                    rows = jax.lax.broadcasted_iota(
-                        jnp.int32, (CHUNK, CHUNK), 0
-                    )
-                    G8 = (rows == gidx[None, :]).astype(jnp.int8)
-                    cand[...] = plane_gather(V[:, :CHUNK], G8)
-
-                @pl.when(in1024)
-                def _():
-                    rows = jax.lax.broadcasted_iota(
-                        jnp.int32, (1024, CHUNK), 0
-                    )
-                    G8 = (rows == gidx[None, :]).astype(jnp.int8)
-                    cand[...] = plane_gather(V[...], G8)
+                    @pl.when(scls_src == E)
+                    def _(E=E):
+                        S = (E + 1) * CHUNK
+                        rows = jax.lax.broadcasted_iota(
+                            jnp.int32, (S, CHUNK), 0
+                        )
+                        G8 = (rows == gidx[None, :]).astype(jnp.int8)
+                        cand[...] = plane_gather(V[:, :S], G8)
 
             g0 = cand[...]
             ri = jax.lax.broadcasted_iota(jnp.int32, (R1P, CHUNK), 0)
@@ -1034,7 +1046,7 @@ def _narrow_kernel(R1: int, T_static: int):
                 accs[:, :OUT] = ns
                 return nv, ns
 
-            @pl.when(jnp.logical_not(out1024))
+            @pl.when(dcls == 0)
             def _():
                 nv, ns = extract_and_acc(CHUNK)
 
@@ -1045,14 +1057,19 @@ def _narrow_kernel(R1: int, T_static: int):
                     )
                     bp256_ref[0] = ns.astype(jnp.int16)
 
-            @pl.when(out1024)
-            def _():
-                nv, ns = extract_and_acc(1024)
+            for E in (2, 3, 4):
 
-                @pl.when(last)
-                def _():
-                    V[...] = jnp.where(nv > REACH_T, nv, jnp.int32(NEG))
-                    bp1024_ref[0] = ns.astype(jnp.int16)
+                @pl.when(dcls == E - 1)
+                def _(E=E):
+                    OUT = E * CHUNK
+                    nv, ns = extract_and_acc(OUT)
+
+                    @pl.when(last)
+                    def _():
+                        V[:, :OUT] = jnp.where(
+                            nv > REACH_T, nv, jnp.int32(NEG)
+                        )
+                        bp1024_ref[0, :, :OUT] = ns.astype(jnp.int16)
 
         @pl.when(t == T - 1)
         def _():
@@ -1133,6 +1150,7 @@ def _wide_split_kernel(NB: int, T_static: int, R1: int):
     from jax.experimental.pallas import tpu as pltpu
 
     R1P = _r1p(R1)
+    _ablate = _os.environ.get("DIPGENIE_ABLATE", "")
 
     def kern(
         wbits_ref,
@@ -1168,7 +1186,7 @@ def _wide_split_kernel(NB: int, T_static: int, R1: int):
                 )
             Vnow[:, :1024] = vinit_ref[...]
 
-        @pl.when(real)
+        @pl.when(real & (_ablate != "all"))
         def _():
             tbl = tbl_ref[0]  # [2, CHUNK] packed (see _TBL_ROWS)
             packed = tbl[0]
@@ -1382,6 +1400,7 @@ def _wide_dense_kernel(NB: int, T_static: int, R1: int):
     from jax.experimental.pallas import tpu as pltpu
 
     R1P = _r1p(R1)
+    _ablate = _os.environ.get("DIPGENIE_ABLATE", "")
 
     def kern(
         dbits_ref,
@@ -1418,7 +1437,7 @@ def _wide_dense_kernel(NB: int, T_static: int, R1: int):
                 )
             Vnow[:, :1024] = vinit_ref[...]
 
-        @pl.when(real)
+        @pl.when(real & (_ablate != "all"))
         def _():
             tbl = tbl_ref[0]  # [2, CHUNK] dense-packed
             packed = tbl[0]
@@ -1946,11 +1965,71 @@ def _narrow_trace(bp256, bp1024, tbl, w1t, syt, xs, carry):
     return jax.lax.scan(f, carry, xs)
 
 
+def _narrow_trace_acc(bp256, bp1024, tbl, w1t, syt, xs, carry, buf, pos):
+    """_narrow_trace writing its records into a DONATED whole-plan
+    buffer at row `pos`: the traceback makes one device->host transfer
+    total (per-array fetches cost ~50 ms each on the tunnel runtime —
+    ~30 s for the 673 MHC segments)."""
+    import jax
+
+    carry, recs = _narrow_trace(bp256, bp1024, tbl, w1t, syt, xs, carry)
+    buf = jax.lax.dynamic_update_slice(buf, recs, (pos, 0))
+    return carry, buf
+
+
 # --------------------------------------------------------------------
 # orchestrator
 # --------------------------------------------------------------------
 
 _CACHE_SET = False
+_SRC_HASH = None
+
+
+def _aot_load(path):
+    """Load a serialized compiled executable; None on any mismatch."""
+    if not _os.path.exists(path):
+        return None
+    try:
+        import pickle
+
+        from jax.experimental import serialize_executable as se
+
+        with open(path, "rb") as fh:
+            payload, in_tree, out_tree = pickle.load(fh)
+        return se.deserialize_and_load(payload, in_tree, out_tree)
+    except Exception:
+        return None  # version/device drift: caller rebuilds
+
+
+def _aot_store(path, comp):
+    import pickle
+
+    from jax.experimental import serialize_executable as se
+
+    try:
+        payload, in_tree, out_tree = se.serialize(comp)
+        _os.makedirs(_os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp{_os.getpid()}"
+        with open(tmp, "wb") as fh:
+            pickle.dump((payload, in_tree, out_tree), fh, protocol=4)
+        _os.replace(tmp, path)
+    except Exception:
+        pass  # cache write failure is non-fatal
+
+
+def _src_hash() -> str:
+    """sha1 of this module's source: auto-invalidates the AOT
+    executable cache on any kernel/orchestration change."""
+    global _SRC_HASH
+    if _SRC_HASH is None:
+        import hashlib
+
+        try:
+            with open(__file__, "rb") as fh:
+                _SRC_HASH = hashlib.sha1(fh.read()).hexdigest()
+        except Exception:
+            _SRC_HASH = "unknown"
+    return _SRC_HASH
 
 
 def _enable_compile_cache():
@@ -2010,10 +2089,12 @@ def plan_pairs_cached(arrs, R: int, cache_dir: str | None = None):
             with open(path, "rb") as fh:
                 plan = pickle.load(fh)
             if isinstance(plan, PairPlan) and plan.R == R:
+                plan.fingerprint = h.hexdigest()[:16]
                 return plan
         except Exception:
             pass  # corrupt cache: replan
     plan = plan_pairs(*arrs, R)
+    plan.fingerprint = h.hexdigest()[:16]
     try:
         _os.makedirs(cache_dir, exist_ok=True)
         tmp = path + f".tmp{_os.getpid()}"
@@ -2305,12 +2386,17 @@ class PairDiploidDP:
     # One host dispatch per ~GROUP segments instead of one per segment:
     # the per-pass host cost falls from ~673 sequential launches (which
     # dominate the wall on slow/contended hosts — the device idles
-    # between launches) to ~11, and XLA overlaps the per-kernel setup
-    # inside each group program. The persistent compile cache makes the
+    # between launches) to ~42, and XLA overlaps the per-kernel setup
+    # inside each group program. The group program RETURNS each
+    # segment's backpointer blocks (the pallas calls write them either
+    # way — XLA cannot dead-code custom-call outputs), so ONE compiled
+    # program per group serves the measured forward, the traceback's
+    # rematerialization, and the e2e path; callers that don't need bps
+    # just drop the handles. The persistent compile cache makes the
     # group programs' first build a once-per-plan cost.
 
     def _fused_groups(self):
-        group = int(_os.environ.get("DIPGENIE_FUSE_GROUP", "64"))
+        group = int(_os.environ.get("DIPGENIE_FUSE_GROUP", "16"))
         shipped = self._ship()
         groups, cur = [], []
         for i, (kind, _seg, _dev) in enumerate(shipped):
@@ -2338,17 +2424,143 @@ class PairDiploidDP:
         metas = [(shipped[i][0], shipped[i][1]) for i in idxs]
 
         def fn(args_list, V):
+            bps = []
             for (kind, seg), dev in zip(metas, args_list):
                 if kind == "n":
-                    _, _, V = self._narrow_raw(seg)(*dev, V)
+                    bp256, bp1024, V = self._narrow_raw(seg)(*dev, V)
+                    bps.append((bp256, bp1024))
                 elif kind == "w2":
-                    _, V = self._wide_split_raw(seg)(*dev, V)
+                    bp, V = self._wide_split_raw(seg)(*dev, V)
+                    bps.append((bp,))
                 else:
-                    _, V = self._wide_raw(seg)(*dev, V)
-            return V
+                    bp, V = self._wide_raw(seg)(*dev, V)
+                    bps.append((bp,))
+            return bps, V
 
         self._jits[key] = jax.jit(fn)
         return self._jits[key]
+
+    # ---------------- AOT executable cache ----------------
+    # jax retraces and re-lowers every pallas kernel instance per
+    # process (~0.2 s each, ~670 instances on MHC) and the persistent
+    # XLA cache only skips the COMPILE step — so a fresh process still
+    # pays ~3-4 min of staging before the first DP pass. The group
+    # programs are plan-specific anyway, so we cache the COMPILED
+    # EXECUTABLE bytes (jax.experimental.serialize_executable) keyed by
+    # (jax version, device kind, PLAN_FORMAT, this file's source hash,
+    # plan fingerprint, group): a warm fresh process deserializes ~40
+    # programs in ~1 s total and runs with zero tracing. Any code or
+    # plan change rolls the key; stale entries are just dead files.
+
+    def _exec_dir(self):
+        d = _os.environ.get(
+            "DIPGENIE_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "dipgenie_tpu"),
+        )
+        return _os.path.join(d, "exec") if d else None
+
+    def _group_call(self, idxs):
+        """Callable for one group: an AOT-deserialized executable when
+        the plan is fingerprinted (disk-cached), else the jit path."""
+        key = ("gx", idxs)
+        if key in self._jits:
+            return self._jits[key]
+        fp = getattr(self.plan, "fingerprint", None)
+        cdir = self._exec_dir()
+        if (
+            fp is None
+            or cdir is None
+            or self.mesh is not None
+            or self.interpret
+            or _os.environ.get("DIPGENIE_AOT_CACHE", "1") == "0"
+        ):
+            fn = self._group_jit(idxs)
+            self._jits[key] = fn
+            return fn
+        import hashlib
+        import pickle
+
+        import jax
+        from jax.experimental import serialize_executable as se
+
+        dev = jax.devices()[0]
+        meta = "|".join(
+            str(x)
+            for x in (
+                jax.__version__, dev.platform,
+                getattr(dev, "device_kind", ""), PLAN_FORMAT,
+                _src_hash(), fp, self.R,
+                int(_os.environ.get("DIPGENIE_FUSE_GROUP", "16")), idxs,
+            )
+        )
+        digest = hashlib.sha1(meta.encode()).hexdigest()[:24]
+        path = _os.path.join(cdir, f"g_{digest}.pkl")
+        comp = _aot_load(path)
+        if comp is not None:
+            self._jits[key] = comp
+            return comp
+        fn = self._group_jit(idxs)
+        shipped = self._ship()
+        args = [shipped[i][2] for i in idxs]
+        try:
+            comp = fn.lower(args, self._initial()).compile()
+            _aot_store(path, comp)
+            self._jits[key] = comp
+            return comp
+        except Exception:
+            self._jits[key] = fn  # AOT unsupported: plain jit
+            return fn
+
+    def _trace_call(self, args):
+        """Shape-keyed AOT wrapper around the shared accumulate-trace
+        program (per-process tracing of the scan programs costs
+        seconds; their executables are plan-independent). The record
+        buffer arg is DONATED — each call appends in place."""
+        import jax
+
+        shapes = tuple(
+            (tuple(a.shape), str(a.dtype))
+            for a in args[:6] + (args[7],)
+        )
+        key = ("tx", shapes)
+        if key in self._jits:
+            return self._jits[key]
+        if "trace_acc" not in self._jits:
+            self._jits["trace_acc"] = jax.jit(
+                _narrow_trace_acc, donate_argnums=(7,)
+            )
+        jfn = self._jits["trace_acc"]
+        cdir = self._exec_dir()
+        if (
+            cdir is None
+            or self.mesh is not None
+            or self.interpret
+            or _os.environ.get("DIPGENIE_AOT_CACHE", "1") == "0"
+        ):
+            self._jits[key] = jfn
+            return jfn
+        import hashlib
+
+        dev = jax.devices()[0]
+        meta = "|".join(
+            str(x)
+            for x in (
+                jax.__version__, dev.platform,
+                getattr(dev, "device_kind", ""), _src_hash(), shapes,
+            )
+        )
+        digest = hashlib.sha1(meta.encode()).hexdigest()[:24]
+        path = _os.path.join(cdir, f"t_{digest}.pkl")
+        comp = _aot_load(path)
+        if comp is None:
+            try:
+                comp = jfn.lower(*args).compile()
+                _aot_store(path, comp)
+            except Exception:
+                comp = jfn
+        self._jits[key] = comp
+        return comp
 
     def _forward_fused(self):
         """keep_bp-free forward with grouped dispatch; falls back to the
@@ -2360,7 +2572,7 @@ class PairDiploidDP:
                 _, seg, dev = shipped[idxs[0]]
                 V, _ = self._run_wide_sharded(seg, dev, V, False)
             else:
-                V = self._group_jit(tuple(idxs))(
+                _, V = self._group_call(tuple(idxs))(
                     [shipped[i][2] for i in idxs], V
                 )
         return V
@@ -2449,17 +2661,29 @@ class PairDiploidDP:
         return best
 
     # ---------------- traceback staging ----------------
-    def _ship_tb(self, idx, kind, seg):
-        """Device-resident traceback tables per segment, shipped once;
-        xs rows are reversed and tail-padded (active=0) to the run
-        ladder so trace programs are shared across segments."""
+    def _ship_tb_all(self):
+        """Ship EVERY segment's traceback tables in one batched
+        device_put (per-segment puts cost an RPC each on the tunnel
+        runtime — ~10 s for the 673 MHC segments)."""
         import jax
 
         if not hasattr(self, "_tb"):
             self._tb = {}
-        if idx in self._tb:
-            return self._tb[idx]
-        put = self._put_rep
+        shipped = self._ship()
+        host = {}
+        for idx, (kind, seg, _dev) in enumerate(shipped):
+            if idx in self._tb or kind == "ws":
+                continue
+            host[idx] = self._tb_host(kind, seg)
+        if host:
+            if self.mesh is None:
+                dev = jax.device_put(host)
+            else:
+                dev = {k: tuple(self._put_rep(a) for a in v)
+                       for k, v in host.items()}
+            self._tb.update(dev)
+
+    def _tb_host(self, kind, seg):
         Treal = seg.t1 - seg.t0
         # both segment kinds share the 6-column trace row layout:
         # chunkbase, bits, bprow, bin, bout, active
@@ -2491,9 +2715,19 @@ class PairDiploidDP:
         pad = np.zeros((Tp - Treal, 6), np.int32)
         pad[:, 3:5] = 1  # bin/bout 1: no div-by-zero on padded rows
         xs = np.concatenate([xs, pad]).astype(np.int32)
-        out = (put(xs), put(w1t), put(syt))
-        self._tb[idx] = out
-        return out
+        return (xs, w1t, syt)
+
+    def _ship_tb(self, idx, kind, seg):
+        """Device-resident traceback tables for one segment (shipped
+        in bulk by _ship_tb_all; this is the lazy fallback)."""
+        import jax
+
+        if not hasattr(self, "_tb"):
+            self._tb = {}
+        if idx not in self._tb:
+            host = self._tb_host(kind, seg)
+            self._tb[idx] = tuple(self._put_rep(a) for a in host)
+        return self._tb[idx]
 
     def _bp256_dummy(self):
         """1-row zero bp256 for wide-run traces (they are 1024-class)."""
@@ -2505,10 +2739,174 @@ class PairDiploidDP:
             )
         return self._bpd
 
+    # ---------------- fused traceback ----------------
+    def _run_fused(self, verbose: bool = False):
+        """run() with grouped dispatch on both phases (single-device
+        path). Identical results to the per-segment orchestration —
+        the same kernels run in the same order; only the host dispatch
+        granularity changes."""
+        import jax
+        import jax.numpy as jnp
+
+        shipped = self._ship()
+        # one grouping drives BOTH phases: each traceback group
+        # rematerializes its bps by re-dispatching the SAME compiled
+        # group program from its own forward snapshot (96 KB each)
+        groups = self._fused_groups()
+        V = self._initial()
+        v_ins = []  # group-boundary V snapshots
+        for gkind, idxs in groups:
+            v_ins.append(V)
+            if gkind == "ws":
+                _, seg, dev = shipped[idxs[0]]
+                V, _ = self._run_wide_sharded(seg, dev, V, False)
+            else:
+                _, V = self._group_call(tuple(idxs))(
+                    [shipped[i][2] for i in idxs], V
+                )
+        carry = (
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(self.R, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+        )
+        self._ship_tb_all()  # one batched transfer for all segments
+        # whole-plan record buffer: every trace call appends into ONE
+        # donated device array; the traceback costs a single d2h fetch
+        total_rows = sum(
+            _ladder_fit(shipped[i][1].t1 - shipped[i][1].t0, _RUN_LADDER)
+            for i, (k, _s, _d) in enumerate(shipped)
+            if k != "ws"
+        )
+        buf = jnp.zeros((max(total_rows, 1), 7), jnp.int32)
+        pos = 0
+        entries = []  # (t0, Treal, pos, Tp) in trace order; ws: ndarray
+        for (gkind, idxs), Vrun in zip(
+            reversed(groups), reversed(v_ins)
+        ):
+            if gkind == "ws":
+                i = idxs[0]
+                kind, seg, dev = shipped[i]
+                carry, recs = self._trace_ws_host(seg, dev, Vrun, carry)
+                entries.append((seg.t0, seg.t1 - seg.t0, recs, None))
+                continue
+            bps, _ = self._group_call(tuple(idxs))(
+                [shipped[i][2] for i in idxs], Vrun
+            )
+            # per-segment traces ride the SHAPE-SHARED trace program
+            # (a handful of compiled variants for the whole plan)
+            for j in range(len(idxs) - 1, -1, -1):
+                off = idxs[j]
+                kind, seg, dev = shipped[off]
+                xs, w1d, syd = self._ship_tb(off, kind, seg)
+                if kind == "n":
+                    b256, b1024 = bps[j]
+                    tbl_dev = dev[4]
+                else:
+                    b256 = self._bp256_dummy()
+                    b1024 = bps[j][0]
+                    tbl_dev = dev[6] if kind == "w2" else dev[7]
+                targs = (
+                    b256, b1024, tbl_dev, w1d, syd, xs, carry, buf,
+                    np.int32(pos),
+                )
+                carry, buf = self._trace_call(targs)(*targs)
+                entries.append(
+                    (seg.t0, seg.t1 - seg.t0, pos, xs.shape[0])
+                )
+                pos += xs.shape[0]
+            del bps
+        buf_np = np.asarray(buf)  # the one record fetch
+        rec_chunks = [
+            (t0, Treal, r if p is None else buf_np[r : r + p])
+            for t0, Treal, r, p in entries
+        ]
+        sink_value = int(np.asarray(V)[self.R, 0])
+        return self._assemble(sink_value, rec_chunks)
+
+    def _trace_ws_host(self, seg, dev, V1024, carry):
+        """Host-side backtrack of one sharded wide run (see run())."""
+        import jax.numpy as jnp
+
+        Treal = seg.t1 - seg.t0
+        _, bplist = self._run_wide_sharded(seg, dev, V1024, keep_bp=True)
+        lane, r, sh = (int(np.asarray(x)) for x in carry)
+        hrecs = np.zeros((Treal, 7), np.int32)
+        for k, ti in enumerate(range(Treal - 1, -1, -1)):
+            slot = int(np.asarray(bplist[ti][r, lane]))
+            crow = int(seg.tb_chunkbase[ti]) + slot // CHUNK
+            lanec = slot % CHUNK
+            packedv = int(seg.tbl[crow, 0, lanec])
+            gidx = packedv >> 13
+            wsum = packedv & 3
+            w1 = int(seg.w1[crow, lanec])
+            sy = int(seg.symd[crow, lanec])
+            binv = int(seg.tb_bin[ti])
+            bout = int(seg.tb_bout[ti])
+            hrecs[k] = (
+                gidx // binv, gidx % binv, lane // bout,
+                lane % bout, w1, wsum - w1, sy,
+            )
+            lane, r, sh = gidx, r - wsum, sh + sy
+        carry = (
+            jnp.asarray(lane, jnp.int32),
+            jnp.asarray(r, jnp.int32),
+            jnp.asarray(sh, jnp.int32),
+        )
+        return carry, hrecs
+
+    def _assemble(self, sink_value, rec_chunks):
+        import jax.numpy as jnp
+
+        # device-resident record stacks come home in ONE transfer
+        # (per-segment fetches cost ~ms each over the tunnel runtime)
+        dev_idx = [
+            i
+            for i, (_, _, r) in enumerate(rec_chunks)
+            if not isinstance(r, np.ndarray)
+        ]
+        if dev_idx:
+            cat = np.asarray(
+                jnp.concatenate(
+                    [rec_chunks[i][2] for i in dev_idx], axis=0
+                )
+            )
+            pos = 0
+            for i in dev_idx:
+                t0, Treal, r = rec_chunks[i]
+                Tp = int(r.shape[0])
+                rec_chunks[i] = (t0, Treal, cat[pos : pos + Tp])
+                pos += Tp
+        shet = 0
+        parts = []
+        for t0, Treal, recs in rec_chunks:
+            r = np.asarray(recs)[:Treal]  # real rows, reversed in-segment
+            shet += int(r[:, 6].sum())
+            lvl = t0 + (Treal - 1 - np.arange(Treal, dtype=np.int64)) + 1
+            parts.append(
+                np.column_stack([lvl.astype(np.int64), r[:, :6]])
+            )
+        allr = (
+            np.concatenate(parts)
+            if parts
+            else np.zeros((0, 7), np.int64)
+        )
+        allr = allr[np.argsort(allr[:, 0], kind="stable")]
+        transitions = [tuple(int(x) for x in row) for row in allr]
+        return sink_value, shet, transitions
+
     # ---------------- full run ----------------
     def run(self, verbose: bool = False):
         import jax
         import jax.numpy as jnp
+
+        if _os.environ.get("DIPGENIE_FUSE", "1") != "0":
+            try:
+                return self._run_fused(verbose)
+            except Exception as e:  # pragma: no cover - backend-specific
+                print(
+                    "[diploid_dp] fused run unavailable "
+                    f"({type(e).__name__}: {e}); per-segment fallback"
+                )
 
         # forward keeps only each segment's 128 KB input state; the
         # backward pass below REMATERIALIZES one segment's backpointers

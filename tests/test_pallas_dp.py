@@ -39,6 +39,7 @@ CASES = (
     + [(100 + s, 8, 3, 2, 6) for s in range(3)]   # tiny, low R
     + [(200 + s, 16, 16, 5, 10) for s in range(3)]  # 16/32 layout mix
     + [(300 + s, 10, 30, 4, 12) for s in range(3)]  # near narrow limit
+    + [(600 + s, 14, 24, 5, 8) for s in range(2)]   # flat 512/768 extents
     + [(400 + s, 10, 40, 4, 8) for s in range(3)]   # wide levels (>32)
     + [(500 + s, 14, 36, 6, 9) for s in range(2)]   # longer wide mixes
 )
